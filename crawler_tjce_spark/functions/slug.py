@@ -1,0 +1,80 @@
+"""Slug / unicode helpers (ref ``schemas/entity_mapping.py:7-28``,
+``crawler/crawler.py:84-97``).
+
+``slugify`` needs NFKD accent stripping. For the pt-BR domain the accent
+set is small and fixed, so the hot path is a JVM-side ``translate``
+(``slugify_expr``) — no Python at all. A vectorized pandas UDF
+(``slugify_udf``) provides full-Unicode parity for arbitrary input and
+is what the property tests compare against the reference semantics.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+# Latin-1..Latin-A accented chars → ASCII (covers the pt-BR entity domain).
+_ACCENTED = "áàâãäåéèêëíìîïóòôõöúùûüçñýÿÁÀÂÃÄÅÉÈÊËÍÌÎÏÓÒÔÕÖÚÙÛÜÇÑÝ"
+_PLAIN = "aaaaaaeeeeiiiiooooouuuucnyyAAAAAAEEEEIIIIOOOOOUUUUCNY"
+
+
+def _as_str(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def strip_accents_expr(col: Column | str) -> Column:
+    """JVM-side accent strip over the fixed Latin accent table."""
+    return F.translate(_as_str(col), _ACCENTED, _PLAIN)
+
+
+def slugify_expr(col: Column | str) -> Column:
+    """'MUNICÍPIO DE FORTALEZA' → 'municipio-de-fortaleza'.
+
+    Same pipeline as the reference: lower → strip accents → drop
+    ``[^a-z0-9\\s-]`` → collapse ``[-\\s]+`` → '-' → trim '-'.
+    """
+    s = F.lower(strip_accents_expr(col))
+    s = F.regexp_replace(s, r"[^a-z0-9\s-]", "")
+    s = F.regexp_replace(s, r"[-\s]+", "-")
+    return F.regexp_replace(s, r"^-+|-+$", "")
+
+
+def unslugify_expr(col: Column | str) -> Column:
+    """'municipio-de-fortaleza' → 'MUNICIPIO DE FORTALEZA'."""
+    return F.upper(F.regexp_replace(_as_str(col), "-", " "))
+
+
+def _slugify_py(text: str) -> str:
+    """Python reference semantics (NFKD) — used by the pandas UDF and tests."""
+    import re
+
+    text = text.lower()
+    text = unicodedata.normalize("NFKD", text)
+    text = "".join(c for c in text if not unicodedata.combining(c))
+    text = re.sub(r"[^a-z0-9\s-]", "", text)
+    text = re.sub(r"[-\s]+", "-", text).strip("-")
+    return text
+
+
+@F.pandas_udf(StringType())
+def slugify_udf(s: pd.Series) -> pd.Series:
+    """Full-Unicode NFKD slugify (vectorized; Arrow batch transfer)."""
+    return s.fillna("").map(_slugify_py)
+
+
+@F.pandas_udf(StringType())
+def decode_unicode_escape_udf(s: pd.Series) -> pd.Series:
+    """latin-1 → unicode-escape → utf-8 round-trip for ``\\u00XX``
+    sequences (ref ``crawler/crawler.py:84-97``). Vectorized."""
+
+    def _decode(v: str) -> str:
+        try:
+            return v.encode("latin-1").decode("unicode-escape").encode("latin-1").decode("utf-8")
+        except (UnicodeError, AttributeError):
+            return v
+
+    return s.fillna("").map(_decode)

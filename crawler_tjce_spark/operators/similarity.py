@@ -1,0 +1,117 @@
+"""Approximate-nearest-neighbor similarity search over embeddings.
+
+Baseline: brute-force cosine top-k (exact; broadcast the query side).
+Scale path: random-hyperplane LSH bucketing — probe only matching
+buckets, turning O(N·Q) into O(N·Q/2^bits) expected. Hyperplanes are
+seeded numpy constants baked into the plan as array literals, so the
+whole pipeline stays JVM-side and deterministic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    Physical shape: broadcast the (small) query set against the (huge)
+    vector table → a broadcast nested-loop that scans the vectors once,
+    then per-query top-k via window. Deterministic ties → (sim desc,
+    id asc).
+    """
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    joined = vectors.select(id_col, vec_col).crossJoin(q)
+    sim = (_dot(F.col(vec_col), F.col(query_vec_col)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(query_vec_col))
+    )).alias("cosine")
+    scored = joined.select(query_id_col, id_col, sim)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cosine", "rk")
+    )
+
+
+def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (rows) for sign-LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).tolist()
+
+
+def lsh_bucket_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit i = sign(v · plane_i), packed into a long."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(v, plane) >= 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
+        bucket = bucket.bitwiseOR(bit)
+    return bucket
+
+
+def cosine_topk_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN top-k: sign-LSH bucket equi-join, exact cosine inside buckets.
+
+    Approximate — a query only sees vectors in its own bucket. At scale
+    this replaces the broadcast nested-loop with a hash join keyed on
+    an 8-byte bucket id; recall is tuned by ``bits`` (fewer bits →
+    bigger buckets → higher recall, more compute) or multi-probe.
+    """
+    planes = hyperplanes(dim, bits)
+    v = vectors.select(id_col, vec_col).withColumn("_bkt", lsh_bucket_expr(vec_col, planes))
+    q = F.broadcast(
+        queries.select(query_id_col, query_vec_col).withColumn(
+            "_bkt", lsh_bucket_expr(query_vec_col, planes)
+        )
+    )
+    joined = v.join(q, "_bkt")
+    sim = (_dot(F.col(vec_col), F.col(query_vec_col)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(query_vec_col))
+    )).alias("cosine")
+    scored = joined.select(query_id_col, id_col, sim)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cosine", "rk")
+    )

@@ -1,0 +1,94 @@
+"""Sequential/window operators.
+
+The reference threads a global ``ordem`` counter through its paginated
+crawl (``crawler/crawler.py:538-543,1056-1057``) and reconstructs rows
+by inheriting the previous row's column values via the ``R`` bitmask
+(``crawler/crawler.py:897-1048``). Both are window functions in Spark.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_ordem(df: DataFrame, order_by: Sequence[Column | str], name: str = "ordem") -> DataFrame:
+    """Assign a 1..N global sequence number in ``order_by`` order.
+
+    NOTE (scale): ``Window.orderBy`` without ``partitionBy`` funnels all
+    rows through one task. Use this form only for final, already-reduced
+    outputs (the reference's CSV is exactly that). For big tables use
+    :func:`scalable_global_ordem`.
+    """
+    w = Window.orderBy(*order_by)
+    return df.withColumn(name, F.row_number().over(w))
+
+
+def scalable_global_ordem(
+    df: DataFrame,
+    partition_col: str,
+    order_by: Sequence[Column | str],
+    name: str = "ordem",
+) -> DataFrame:
+    """Global sequence number without a single-task window.
+
+    Two-pass: (1) rank within each ``partition_col`` group — a parallel
+    window; (2) compute per-group counts (tiny), prefix-sum them with a
+    window over the *group* table, and broadcast-join the offsets back.
+    Total order = (partition_col asc, order_by) — callers pick a
+    partition column that is the leading sort key (e.g. ``wave``).
+    """
+    w_in = Window.partitionBy(partition_col).orderBy(*order_by)
+    ranked = df.withColumn("_rn", F.row_number().over(w_in))
+    counts = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_off = Window.orderBy(partition_col).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).drop(
+        "_cnt"
+    )
+    return (
+        ranked.join(F.broadcast(offsets), partition_col)
+        .withColumn(name, (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_rn", "_off")
+    )
+
+
+def fill_forward(
+    df: DataFrame,
+    cols: Sequence[str],
+    partition_by: Sequence[Column | str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """Inherit the previous non-null value within a partition.
+
+    Spark restatement of the reference's delta-bitmask ("Rulifier")
+    inheritance: ``last(c, ignorenulls=True)`` over rows
+    unboundedPreceding..current. Partition = DSR page (rows are
+    sequential only within a page), so it parallelizes per page.
+    """
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df
+    for c in cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out
+
+
+def group_topk(
+    df: DataFrame,
+    partition_by: Sequence[Column | str],
+    order_by: Sequence[Column | str],
+    k: int,
+    rank_name: str = "rk",
+) -> DataFrame:
+    """Top-k rows per group (the per-host priority-queue primitive).
+
+    ``row_number`` (not rank) → exactly k rows, deterministic given a
+    total ``order_by``. This is also the politeness budget pick.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_name, F.row_number().over(w)).filter(F.col(rank_name) <= k)
