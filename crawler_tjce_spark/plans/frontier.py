@@ -1,0 +1,83 @@
+"""Frontier scoring and the politeness pick (per-host priority queue).
+
+The reference's frontier is its pagination-token chain and its
+politeness is Flask-Limiter budgets (SURVEY.md §2.9). Here the frontier
+is a DataFrame and politeness is a *grouped window cap*: per host and
+wave, fetch at most ``host_budget`` URLs, highest score first.
+
+Skew (north_rule): one hot host can own half of a 10^10 frontier. A
+single ``Window.partitionBy(host)`` would then sort that host's whole
+shard in one task. ``politeness_pick`` therefore runs TWO stages:
+
+  stage 1  window over (host, salt) where salt = pmod(xxhash64(url), S)
+           → keeps only the top ``budget`` per salt bucket (parallel,
+           bounded task size ~ shard/S);
+  stage 2  window over host on the ≤ S·budget survivors → exact top
+           ``budget``.
+
+Stage 1 is safe because any row in the true host-level top-k is also in
+the top-k of its own salt bucket. Budgets arrive per-row via the robots
+broadcast join, so different hosts can have different caps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from crawler_tjce_spark.refsim import SCORE_DEPTH, SCORE_RECENCY, SCORE_SALIENT
+
+SALIENT_SQL_RE = r"\d{7}-\d{2}\.\d{4}\.\d{1}\.\d{2}\.\d{4}"
+
+
+def salient_expr(url_col="url"):
+    """CNJ process-number salience (ref crawler/edital_crawler.py:636-643)."""
+    return F.col(url_col).rlike(SALIENT_SQL_RE)
+
+
+def score_expr(salient_col="salient", depth_col="depth", wave_col="discovered_wave"):
+    """score = 100·salient − 3·depth + 1·discovered_wave (crawl contract §2)."""
+    return (
+        SCORE_SALIENT * F.col(salient_col).cast("int")
+        + SCORE_DEPTH * F.col(depth_col)
+        + SCORE_RECENCY * F.col(wave_col)
+    ).cast("int")
+
+
+def politeness_pick(
+    frontier: DataFrame,
+    budget_col: str = "host_budget",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Top-``budget`` URLs per host by (score desc, url asc), salted.
+
+    Input must carry columns: url, host, score, and ``budget_col``
+    (joined from robots). Output: the picked rows (all input columns).
+    """
+    order = [F.desc("score"), F.col("url")]
+    salted = frontier.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    stage1 = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col(budget_col))
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    return (
+        stage1.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= F.col(budget_col))
+        .drop("_r2")
+    )
+
+
+def assign_wave_ordem(picked: DataFrame, ordem_offset: int) -> DataFrame:
+    """Within-wave visit order (crawl contract §4): (host asc, score
+    desc, url asc), globally numbered starting at ``ordem_offset``+1.
+
+    Uses the two-pass scalable sequence (rank within host + broadcast
+    host offsets) — no single-task global window.
+    """
+    from crawler_tjce_spark.operators.windows import scalable_global_ordem
+
+    out = scalable_global_ordem(picked, "host", [F.desc("score"), F.col("url")], name="ordem")
+    return out.withColumn("ordem", (F.col("ordem") + F.lit(ordem_offset)).cast("long"))

@@ -1,0 +1,98 @@
+"""Iceberg-style snapshot tables: partitioned parquet + manifest JSON.
+
+No Iceberg runtime jar or pyiceberg exists in this container
+(SURVEY.md §7.0), so the frontier/payload store implements the part of
+the Iceberg contract the crawl needs — atomic snapshot commits and
+time-travel to the last committed state — as:
+
+* data files under ``root/<table>/wave=<n>/`` (written by Spark);
+* a single ``root/_manifest.json`` carrying the committed state
+  (current wave, ordem offset, per-table paths, row counts, lineage);
+* commit = write ``_manifest.json.tmp`` then ``os.replace`` (atomic on
+  POSIX) — a crashed run resumes from the last manifest, and
+  half-written wave directories that never made it into a manifest are
+  simply invisible (idempotent re-run overwrites them).
+
+A real Iceberg catalog drops in by replacing this class; the runner
+only uses ``read``/``write_wave``/``commit``/``load_manifest``.
+Payload rows carry per-partition lineage columns (wave, part file) per
+the north_rule.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ----------------------------------------------------------
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, "_manifest.json")
+
+    def load_manifest(self) -> dict[str, Any] | None:
+        if not os.path.exists(self.manifest_path):
+            return None
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def commit(self, manifest: dict[str, Any]) -> None:
+        manifest = dict(manifest)
+        manifest["snapshot_id"] = manifest.get("snapshot_id", 0) + 1
+        manifest["committed_at"] = time.time()
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self.manifest_path)  # atomic pointer swap
+
+    # -- data --------------------------------------------------------------
+    def table_dir(self, table: str, wave: int | None = None) -> str:
+        # dir name deliberately NOT hive-style ("w3", not "wave=3"): the
+        # wave is stored as a real data column, and hive-style dirs would
+        # make Spark infer a duplicate partition column on glob reads.
+        d = os.path.join(self.root, table)
+        if wave is not None:
+            d = os.path.join(d, f"w{wave}")
+        return d
+
+    def write_wave(self, df: DataFrame, table: str, wave: int) -> str:
+        """Idempotent wave write (overwrite = safe re-run after crash)."""
+        path = self.table_dir(table, wave)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def write_full(self, df: DataFrame, table: str, wave: int) -> str:
+        """Full-state snapshot for a given wave (frontier / seen)."""
+        path = os.path.join(self.root, table, f"s{wave}")
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.parquet(path)
+
+    def read_all_waves(self, spark: SparkSession, table: str) -> DataFrame:
+        """Union of every wave partition (payload/visits/discovered read).
+        Rows carry their wave as a data column; callers filter to the
+        committed range when uncommitted wave dirs may exist."""
+        return spark.read.parquet(os.path.join(self.table_dir(table), "w*"))
+
+    def gc_uncommitted(self, keep: set[str]) -> None:
+        """Drop snapshot dirs not referenced by the manifest (best effort)."""
+        for table in os.listdir(self.root):
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for part in os.listdir(tdir):
+                p = os.path.join(tdir, part)
+                if part.startswith("s") and p not in keep:
+                    shutil.rmtree(p, ignore_errors=True)

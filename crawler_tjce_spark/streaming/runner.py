@@ -1,0 +1,298 @@
+"""The checkpointed crawl wave loop.
+
+Implements the crawl contract in ``refsim.py`` (normative docstring)
+with distributed state:
+
+====================  ====================================================
+state                 representation
+====================  ====================================================
+frontier              full parquet snapshot per wave (``frontier/snap=N``)
+seen set              append-only: seeds ∪ all ``discovered/wave=*``
+                      partitions (never rewritten — at 10^10 keys a
+                      rewrite-per-wave would be O(waves·|seen|) I/O);
+                      plus a driver-held bloom bit array as prefilter,
+                      persisted per wave for resume
+visit log (ordem)     append-only ``visits/wave=N`` partitions
+payload               append-only ``payload/wave=N`` with lineage cols
+progress              ``_manifest.json`` atomic commit per wave
+====================  ====================================================
+
+Per wave:
+1. broadcast-join robots budgets onto the frontier;
+2. salted per-host politeness pick (``plans.frontier.politeness_pick``);
+3. assign global ``ordem`` (two-pass, no single-task window) + persist;
+4. "fetch" = join picked URLs against the pages table (the synthetic
+   web); real fetching swaps in an Arrow-batched UDF with identical
+   schema — the scheduling semantics don't change;
+5. discovered links: explode out-links, attribute each new URL to its
+   first fetcher in visit order (``min_by(parent_depth, ordem)`` —
+   matches the sequential simulator exactly), bloom-prefilter + exact
+   anti-join against seen, split on robots;
+6. new frontier = old − picked + discovered∧allowed; commit manifest.
+
+Every wave's outputs are written then *re-read* before use: this
+truncates the logical plan (no unbounded lineage growth across waves)
+and makes resume trivially byte-identical to a straight-through run.
+
+Crash/resume: kill at any point; the next run replays from the last
+committed manifest. Wave writes are idempotent overwrites, so a wave
+that crashed mid-write is recomputed bit-for-bit (everything is
+deterministic given the committed state).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crawler_tjce_spark.plans import seen as seenmod
+from crawler_tjce_spark.plans.frontier import (
+    assign_wave_ordem,
+    politeness_pick,
+    salient_expr,
+    score_expr,
+)
+from crawler_tjce_spark.plans.robots import with_robots
+from crawler_tjce_spark.sources.tableio import SnapshotStore
+
+FRONTIER_COLS = ["url", "host", "depth", "discovered_wave", "salient"]
+
+
+class CrawlRunner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        world_dir: str,
+        store_root: str,
+        max_waves: int = 50,
+        use_bloom: bool = True,
+        bloom_expected: int = 1_000_000,
+        bloom_fpp: float = 0.01,
+        salt_buckets: int = 16,
+        fetch_images: bool = False,
+    ):
+        self.spark = spark
+        self.world_dir = world_dir
+        self.store = SnapshotStore(store_root)
+        self.max_waves = max_waves
+        self.use_bloom = use_bloom
+        self.bloom_expected = bloom_expected
+        self.bloom_fpp = bloom_fpp
+        self.salt_buckets = salt_buckets
+        self.fetch_images = fetch_images
+        self._bloom_bits: bytes | None = None
+        self._bloom_k = 0
+
+        self.pages = spark.read.parquet(f"{world_dir}/pages.parquet")
+        self.robots = spark.read.parquet(f"{world_dir}/robots.parquet")
+        self.seeds = spark.read.parquet(f"{world_dir}/seeds.parquet")
+
+    # ------------------------------------------------------------------ state
+    def _seen_df(self, upto_wave: int) -> DataFrame:
+        """seen = seeds ∪ discovered[wave ≤ upto_wave] (append-only)."""
+        seen = self.seeds.select("url")
+        ddir = self.store.table_dir("discovered")
+        if os.path.exists(ddir):
+            disc = self.store.read_all_waves(self.spark, "discovered")
+            seen = seen.unionByName(disc.filter(F.col("wave") <= upto_wave).select("url"))
+        return seen
+
+    def _bloom_path(self, wave: int) -> str:
+        return os.path.join(self.store.root, f"bloom_{wave}.bin")
+
+    def _init_bloom(self, wave: int) -> None:
+        if not self.use_bloom:
+            return
+        m, k = seenmod.bloom_params(self.bloom_expected, self.bloom_fpp)
+        self._bloom_k = k
+        p = self._bloom_path(wave)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                self._bloom_bits = f.read()
+        else:  # rebuild from committed state (resume after bloom-file loss)
+            self._bloom_bits = seenmod.build_bloom(
+                self._seen_df(wave - 1), "url", self.bloom_expected, self.bloom_fpp
+            )
+
+    def _bloom_add(self, df: DataFrame, wave: int) -> None:
+        if not self.use_bloom:
+            return
+        import numpy as np
+
+        inc = seenmod.build_bloom(df, "url", self.bloom_expected, self.bloom_fpp)
+        acc = np.frombuffer(self._bloom_bits, dtype=np.uint8) | np.frombuffer(
+            inc, dtype=np.uint8
+        )
+        self._bloom_bits = acc.tobytes()
+        with open(self._bloom_path(wave), "wb") as f:
+            f.write(self._bloom_bits)
+
+    # ------------------------------------------------------------------- run
+    def run(self, resume: bool = True) -> dict:
+        manifest = self.store.load_manifest() if resume else None
+        if manifest is None:
+            manifest = self._bootstrap()
+        self._init_bloom(manifest["wave"])
+
+        while manifest["wave"] < self.max_waves and manifest["frontier_rows"] > 0:
+            manifest = self._run_wave(manifest)
+        return manifest
+
+    def _bootstrap(self) -> dict:
+        """Wave-0 state: seeds → frontier (robots permitting)."""
+        seeds = self.seeds.select(
+            "url",
+            F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1).alias("host"),
+        ).dropDuplicates(["url"])
+        seeded = with_robots(seeds, self.robots)
+        frontier = (
+            seeded.filter(F.col("robots_ok"))
+            .select(
+                "url",
+                "host",
+                F.lit(0).alias("depth"),
+                F.lit(0).alias("discovered_wave"),
+                salient_expr().alias("salient"),
+            )
+        )
+        fpath = self.store.write_full(frontier, "frontier", 0)
+        frontier_rows = self.spark.read.parquet(fpath).count()
+        manifest = {
+            "wave": 0,
+            "ordem_offset": 0,
+            "frontier_path": fpath,
+            "frontier_rows": frontier_rows,
+            "metrics": [],
+            "snapshot_id": 0,
+        }
+        self.store.commit(manifest)
+        return manifest
+
+    def _run_wave(self, manifest: dict) -> dict:
+        t0 = time.time()
+        wave = manifest["wave"]
+        spark = self.spark
+
+        frontier = spark.read.parquet(manifest["frontier_path"])
+
+        # 1-2. budgets + salted politeness pick
+        budgeted = with_robots(frontier, self.robots).withColumn("score", score_expr())
+        picked = politeness_pick(budgeted, salt_buckets=self.salt_buckets).select(
+            *FRONTIER_COLS, "score"
+        )
+
+        # 3. global ordem + persist visit log
+        visits = assign_wave_ordem(picked, manifest["ordem_offset"]).withColumn(
+            "wave", F.lit(wave)
+        )
+        vpath = self.store.write_wave(visits, "visits", wave)
+        picked = spark.read.parquet(vpath)
+        picked_n = picked.count()
+        if picked_n == 0:  # stall guard (ref crawler/crawler.py:633-639 analog)
+            manifest["frontier_rows"] = 0
+            self.store.commit(manifest)
+            return manifest
+
+        # 4. fetch = join against the web; keep parent lineage for depth
+        fetched = picked.join(self.pages, "url", "left").select(
+            picked["url"], picked["depth"], picked["ordem"], "out_links", "image_refs"
+        )
+
+        # 5. discovered links, first-fetcher attribution, seen-filter, robots
+        links = (
+            fetched.select(
+                F.explode_outer("out_links").alias("url"),
+                F.col("depth").alias("parent_depth"),
+                F.col("ordem").alias("parent_ordem"),
+            )
+            .filter(F.col("url").isNotNull())
+            .groupBy("url")
+            .agg(F.min_by("parent_depth", "parent_ordem").alias("parent_depth"))
+        )
+        seen = self._seen_df(wave - 1)
+        new_links = seenmod.filter_unseen(
+            links,
+            seen,
+            "url",
+            self._bloom_bits if self.use_bloom else None,
+            self._bloom_k,
+        )
+        discovered = with_robots(
+            new_links.select(
+                "url",
+                F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1).alias("host"),
+                (F.col("parent_depth") + 1).alias("depth"),
+            ),
+            self.robots,
+        ).select(
+            "url",
+            "host",
+            "depth",
+            F.lit(wave + 1).alias("discovered_wave"),
+            salient_expr().alias("salient"),
+            "robots_ok",
+            F.lit(wave).alias("wave"),
+        )
+        dpath = self.store.write_wave(discovered, "discovered", wave)
+        discovered = spark.read.parquet(dpath)
+        self._bloom_add(discovered, wave)
+
+        # 6. payload fetch (image plumbing) — optional
+        if self.fetch_images:
+            self._fetch_payload(fetched, wave)
+
+        # 7. next frontier = old − picked + discovered∧allowed
+        frontier_next = (
+            frontier.join(picked.select("url"), "url", "left_anti")
+            .select(*FRONTIER_COLS)
+            .unionByName(
+                discovered.filter(F.col("robots_ok")).select(*FRONTIER_COLS)
+            )
+        )
+        fpath = self.store.write_full(frontier_next, "frontier", wave + 1)
+        frontier_rows = spark.read.parquet(fpath).count()
+
+        manifest.update(
+            {
+                "wave": wave + 1,
+                "ordem_offset": manifest["ordem_offset"] + picked_n,
+                "frontier_path": fpath,
+                "frontier_rows": frontier_rows,
+            }
+        )
+        manifest["metrics"].append(
+            {
+                "wave": wave,
+                "picked": picked_n,
+                "frontier_next": frontier_rows,
+                "elapsed_sec": round(time.time() - t0, 3),
+            }
+        )
+        self.store.commit(manifest)
+        return manifest
+
+    def _fetch_payload(self, fetched: DataFrame, wave: int) -> None:
+        """Image+caption payload landing with per-partition lineage."""
+        from crawler_tjce_spark.datagen import generate_images_spark
+
+        refs = fetched.select(F.explode("image_refs").alias("image_id")).distinct()
+        payload = generate_images_spark(self.spark, refs).select(
+            "*",
+            F.lit(wave).alias("wave_fetched"),
+            F.spark_partition_id().alias("part_id"),
+        )
+        self.store.write_wave(payload, "payload", wave)
+
+    # ------------------------------------------------------------- results
+    def visits_df(self) -> DataFrame:
+        m = self.store.load_manifest()
+        return self.store.read_all_waves(self.spark, "visits").filter(
+            F.col("wave") < m["wave"]
+        )
+
+    def seen_final_df(self) -> DataFrame:
+        m = self.store.load_manifest()
+        return self._seen_df(m["wave"])
