@@ -1,38 +1,726 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship frontier-scheduling query on
+sf0.001. ``queries()`` exposes one entry per implemented operator
+family from SURVEY.md §2 plus the training-data operators; each has a
+matching DuckDB ``oracle_sql()`` unless the op is not SQL-expressible
+(MinHash/SimHash banding — the driver records rows-only checks there).
+
+Conventions shared by both sides (so value hashes match):
+* every computed column is aliased identically in Spark and SQL;
+* double aggregates are rounded (sums 2dp, ratios/scores 6dp) to kill
+  float-summation-order noise between engines;
+* approximate similarity ranks never expose raw float scores.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from crawler_tjce_spark.functions import ptbr, slug, text
+from crawler_tjce_spark.operators import dedup, joins, similarity, windows
+
+STOP_SQL = "('the','a','of','and','to','in','is','it','that','for')"
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ===========================================================================
+# flagship: the politeness pick + global ordem over a synthetic frontier
+# (crawl contract §3-4) derived from the documents table
+# ===========================================================================
+
+def _frontier_from_documents(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        F.concat(F.lit("https://"), "source", F.lit(".example/p/"), F.col("doc_id")).alias("url"),
+        F.col("source").alias("host"),
+        F.col("n_chars").cast("int").alias("score"),
+    )
+
+
+def q_frontier_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host top-5 by (score desc, url asc) + global visit order —
+    the scheduler's core operator (SURVEY §2.5 W-added, ref politeness
+    budget config.py:43-55)."""
+    fr = _frontier_from_documents(_t(spark, sf_dir, "documents"))
+    picked = windows.group_topk(fr, ["host"], [F.desc("score"), F.col("url")], 5)
+    return windows.scalable_global_ordem(
+        picked, "host", [F.desc("score"), F.col("url")], name="ordem"
+    ).select("ordem", "url", "host", "score", F.col("rk").alias("host_rank"))
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q_frontier_pick(spark, "/root/testdata/sf0.001")
 
+
+# ===========================================================================
+# queries
+# ===========================================================================
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- scans / filters / aggregates (SURVEY §2.1, §2.2, §2.4) -------------
+    def q01_pushdown_agg(spark, sf):  # S1+P1+P2+A2: TPC-H Q1 shape
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                    "revenue"
+                ),
+                F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+        )
 
+    q["q01_pushdown_agg"] = q01_pushdown_agg
+
+    def q02_filter_in(spark, sf):  # P2+P3: IN-list + year equi-filter
+        o = _t(spark, sf, "orders")
+        return (
+            o.filter(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+                & (F.year("o_orderdate") == 1995)
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        )
+
+    q["q02_filter_in"] = q02_filter_in
+
+    def q03_range_filter(spark, sf):  # P5: post-hoc range filters
+        li = _t(spark, sf, "lineitem")
+        return li.filter(
+            (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+            & (F.col("l_extendedprice") < 20000)
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+
+    q["q03_range_filter"] = q03_range_filter
+
+    def q04_validity_filter(spark, sf):  # P6: row-validity filter
+        d = _t(spark, sf, "documents")
+        return (
+            d.filter((F.length("text") >= 100) & F.col("lang").isNotNull())
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["q04_validity_filter"] = q04_validity_filter
+
+    def q05_prefix_filter(spark, sf):  # P7: sentinel/prefix exclusion
+        d = _t(spark, sf, "documents")
+        return (
+            d.filter(~F.col("source").startswith("src1"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["q05_prefix_filter"] = q05_prefix_filter
+
+    def q06_min_probe(spark, sf):  # S5+A1: 1-row min/max probe
+        e = _t(spark, sf, "events")
+        return e.agg(
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    q["q06_min_probe"] = q06_min_probe
+
+    def q07_distinct_sorted(spark, sf):  # S2+A3+O5: sorted distinct scan
+        c = _t(spark, sf, "customer")
+        return c.select("c_mktsegment").distinct().orderBy("c_mktsegment")
+
+    q["q07_distinct_sorted"] = q07_distinct_sorted
+
+    def q17_count_distinct(spark, sf):  # A3+A4: distinct-agg
+        o = _t(spark, sf, "orders")
+        return o.groupBy("o_orderpriority").agg(
+            F.countDistinct("o_custkey").alias("n_cust"), F.count(F.lit(1)).alias("n_orders")
+        )
+
+    q["q17_count_distinct"] = q17_count_distinct
+
+    def q16_rollup(spark, sf):  # A5: Subtotal:1 → rollup
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        )
+
+    q["q16_rollup"] = q16_rollup
+
+    # -- windows / sequences (SURVEY §2.5) -----------------------------------
+    def q08_topk_per_group(spark, sf):  # O6: per-group top-k
+        o = _t(spark, sf, "orders")
+        return windows.group_topk(
+            o, ["o_orderpriority"], [F.desc("o_totalprice"), F.col("o_orderkey")], 3
+        ).select("o_orderpriority", "o_orderkey", "o_totalprice", F.col("rk").alias("rk"))
+
+    q["q08_topk_per_group"] = q08_topk_per_group
+
+    def q09_global_ordem(spark, sf):  # W1: global sequence number
+        o = _t(spark, sf, "orders").filter(F.year("o_orderdate") == 1995)
+        return windows.global_ordem(
+            o, [F.col("o_orderdate"), F.col("o_orderkey")]
+        ).select("ordem", "o_orderkey")
+
+    q["q09_global_ordem"] = q09_global_ordem
+
+    def q10_fill_forward(spark, sf):  # W2: delta-bitmask fill-forward
+        e = _t(spark, sf, "events").withColumn(
+            "v", F.when(F.col("value") < 0.2, F.lit(None)).otherwise(F.col("value"))
+        )
+        filled = windows.fill_forward(e, ["v"], ["user_id"], [F.col("ts"), F.col("event_id")])
+        return filled.select("event_id", F.round("v", 6).alias("v_filled"))
+
+    q["q10_fill_forward"] = q10_fill_forward
+
+    def q11_keyset_page(spark, sf):  # W3+S1: keyset pagination window
+        o = _t(spark, sf, "orders")
+        return (
+            o.filter(
+                (F.col("o_orderdate") > F.lit("1996-06-15"))
+                | ((F.col("o_orderdate") == F.lit("1996-06-15")) & (F.col("o_orderkey") > 100))
+            )
+            .orderBy("o_orderdate", "o_orderkey")
+            .limit(500)
+            .select("o_orderkey", "o_orderdate")
+        )
+
+    q["q11_keyset_page"] = q11_keyset_page
+
+    def q36_sessionize(spark, sf):  # §2.9 analog: gap-based sessionization
+        e = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # microsecond epoch on both sides — unix_timestamp truncates to
+        # seconds and drifts vs the DuckDB oracle on sub-second gaps
+        us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731  (ts is NTZ; session TZ pinned UTC)
+        gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+        newsess = F.when(gap.isNull() | (gap > 600 * 1_000_000), 1).otherwise(0)
+        sess = e.withColumn(
+            "session_id", F.sum(newsess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        return sess.groupBy("user_id").agg(
+            F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+        )
+
+    q["q36_sessionize"] = q36_sessionize
+
+    # -- sorts / limits (SURVEY §2.6) ----------------------------------------
+    def q15_sort_desc_limit(spark, sf):  # O2+O6: top-n global sort
+        o = _t(spark, sf, "orders")
+        return o.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(10).select(
+            "o_orderkey", "o_totalprice"
+        )
+
+    q["q15_sort_desc_limit"] = q15_sort_desc_limit
+
+    # -- set ops / joins (SURVEY §2.3, §2.7) ---------------------------------
+    def q12_union_dedup(spark, sf):  # U1+U2: union of "pages" + dedup
+        o = _t(spark, sf, "orders")
+        a = o.filter(F.col("o_totalprice") > 150000)
+        b = o.filter(F.col("o_orderstatus") == "O")
+        return (
+            a.unionByName(b)
+            .dropDuplicates(["o_orderkey"])
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["q12_union_dedup"] = q12_union_dedup
+
+    def q13_anti_join(spark, sf):  # J3: seen-set anti-join
+        c = _t(spark, sf, "customer")
+        # "seen" = customers with a high-value order; anti-join keeps the
+        # rest (non-vacuous at every SF — every custkey has *some* order)
+        o = (
+            _t(spark, sf, "orders")
+            .filter(F.col("o_totalprice") > 300000)
+            .select(F.col("o_custkey").alias("c_custkey"))
+        )
+        return joins.seen_anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+    q["q13_anti_join"] = q13_anti_join
+
+    def q14_broadcast_join(spark, sf):  # J1+J2: dims via broadcast joins
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_cust"),
+                F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            )
+        )
+
+    q["q14_broadcast_join"] = q14_broadcast_join
+
+    # -- scalar functions (SURVEY §2.8) --------------------------------------
+    def q18_ptbr_money(spark, sf):  # F4+F5: render→parse round-trip
+        li = _t(spark, sf, "lineitem")
+        parsed = ptbr.parse_ptbr_number(ptbr.format_currency_ptbr(F.col("l_extendedprice")))
+        return li.groupBy("l_returnflag").agg(
+            F.round(F.sum(parsed), 2).alias("sum_parsed"), F.count(F.lit(1)).alias("n")
+        )
+
+    q["q18_ptbr_money"] = q18_ptbr_money
+
+    def q19_excel_dates(spark, sf):  # F6: Excel-serial date parse
+        o = _t(spark, sf, "orders")
+        serial = F.datediff(F.col("o_orderdate"), F.lit("1899-12-30").cast("date"))
+        parsed = ptbr.parse_multiformat_date(serial.cast("string"))
+        return o.groupBy(F.year(parsed).alias("yr")).agg(F.count(F.lit(1)).alias("n"))
+
+    q["q19_excel_dates"] = q19_excel_dates
+
+    def q20_processo_pad(spark, sf):  # F8: 20-digit zero pad
+        o = _t(spark, sf, "orders").filter(F.col("o_orderkey") <= 200)
+        return o.select(
+            "o_orderkey", ptbr.clean_processo(F.col("o_orderkey")).alias("processo")
+        )
+
+    q["q20_processo_pad"] = q20_processo_pad
+
+    def q21_cnj_regex(spark, sf):  # F9: CNJ process-number detection
+        li = _t(spark, sf, "lineitem")
+        proc = F.when(
+            F.col("l_linenumber") % 2 == 0,
+            F.format_string(
+                "%07d-%02d.2024.8.06.%04d",
+                (F.col("l_orderkey") % 10000000).cast("int"),
+                (F.col("l_suppkey") % 100).cast("int"),
+                (F.col("l_partkey") % 10000).cast("int"),
+            ),
+        ).otherwise(F.concat(F.lit("proc-"), F.col("l_orderkey").cast("string")))
+        return (
+            li.select(ptbr.is_cnj_processo(proc).alias("is_cnj"))
+            .groupBy("is_cnj")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["q21_cnj_regex"] = q21_cnj_regex
+
+    def q22_slugify(spark, sf):  # F1: slugify (ASCII domain)
+        c = _t(spark, sf, "customer").filter(F.col("c_custkey") <= 100)
+        return c.select("c_custkey", slug.slugify_expr("c_name").alias("slug"))
+
+    q["q22_slugify"] = q22_slugify
+
+    def q23_date_render(spark, sf):  # F7: dd/MM/yyyy render
+        o = _t(spark, sf, "orders").filter(F.year("o_orderdate") == 1995)
+        return o.select("o_orderkey", ptbr.format_date_ptbr("o_orderdate").alias("br_date"))
+
+    q["q23_date_render"] = q23_date_render
+
+    def q24_json_extract(spark, sf):  # F11+F14: JSON path + safe_float
+        e = _t(spark, sf, "events")
+        v = ptbr.safe_float(F.get_json_object("props", "$.k"))
+        return e.groupBy("event_type").agg(
+            F.round(F.sum(v), 2).alias("sum_k"), F.count(F.lit(1)).alias("n")
+        )
+
+    q["q24_json_extract"] = q24_json_extract
+
+    # -- text analysis (training-data ops) -----------------------------------
+    def q25_token_stats(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            text.ws_token_count("text").alias("ws_tokens"),
+            text.bpe_token_count("text").alias("bpe_tokens"),
+        )
+
+    q["q25_token_stats"] = q25_token_stats
+
+    def q26_quality(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", F.round(text.quality_score("text"), 6).alias("quality"))
+
+    q["q26_quality"] = q26_quality
+
+    def q27_fingerprint(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select("doc_id", text.fingerprint_md5("text").alias("fp"))
+
+    q["q27_fingerprint"] = q27_fingerprint
+
+    def q34_langid(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.groupBy(text.lang_id("text").alias("lang_pred")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    q["q34_langid"] = q34_langid
+
+    # -- dedup family ---------------------------------------------------------
+    def q28_dedup_exact(spark, sf):
+        d = _t(spark, sf, "documents")
+        return dedup.dedup_exact(d, "text", "doc_id").select("doc_id")
+
+    q["q28_dedup_exact"] = q28_dedup_exact
+
+    def q33_ngram_jaccard(spark, sf):
+        d = _t(spark, sf, "documents")
+        pairs = dedup.ngram_jaccard_pairs(d, "text", "doc_id", threshold=0.5)
+        return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    q["q33_ngram_jaccard"] = q33_ngram_jaccard
+
+    def q31_minhash_pairs(spark, sf):  # no SQL oracle (LSH banding)
+        d = _t(spark, sf, "documents")
+        return dedup.dedup_minhash_lsh(d, "text", "doc_id", threshold=0.5).select(
+            "id_a", "id_b"
+        )
+
+    q["q31_minhash_pairs"] = q31_minhash_pairs
+
+    def q32_simhash_pairs(spark, sf):  # no SQL oracle (bit-vote hashing)
+        d = _t(spark, sf, "documents")
+        return dedup.simhash_near_pairs(d, "text", "doc_id", max_hamming=3).select(
+            "id_a", "id_b", "hamming"
+        )
+
+    q["q32_simhash_pairs"] = q32_simhash_pairs
+
+    # -- similarity search ----------------------------------------------------
+    def q29_emb_topk(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.cosine_topk(e, qv, 5).select("query_id", "vec_id", "rk")
+
+    q["q29_emb_topk"] = q29_emb_topk
+
+    def q30_emb_neardup(spark, sf):
+        e = _t(spark, sf, "embeddings")
+        # 0.4 is non-vacuous at every SF (59-66 pairs) and no pair sits
+        # within 1e-4 of the boundary → engine float-precision-safe
+        return dedup.embedding_near_dup_pairs(e, "embedding", "vec_id", threshold=0.4).select(
+            "id_a", "id_b"
+        )
+
+    q["q30_emb_neardup"] = q30_emb_neardup
+
+    def q37_emb_topk_lsh(spark, sf):  # no SQL oracle (LSH bucketing)
+        e = _t(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.cosine_topk_lsh(e, qv, 5, dim=64, bits=4).select(
+            "query_id", "vec_id", "rk"
+        )
+
+    q["q37_emb_topk_lsh"] = q37_emb_topk_lsh
+
+    # -- flagship -------------------------------------------------------------
+    q["q35_frontier_pick"] = q_frontier_pick
+    return q
+
+
+# ===========================================================================
+# oracle SQL (DuckDB dialect, over pre-registered parquet views)
+# ===========================================================================
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["q01_pushdown_agg"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["q02_filter_in"] = """
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT','2-HIGH') AND year(o_orderdate) = 1995
+        GROUP BY o_orderstatus
+    """
+
+    o["q03_range_filter"] = """
+        SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        WHERE l_quantity BETWEEN 10 AND 30 AND l_extendedprice < 20000
+    """
+
+    o["q04_validity_filter"] = """
+        SELECT lang, count(*) AS n FROM documents
+        WHERE length(text) >= 100 AND lang IS NOT NULL
+        GROUP BY lang
+    """
+
+    o["q05_prefix_filter"] = """
+        SELECT source, count(*) AS n FROM documents
+        WHERE source NOT LIKE 'src1%' GROUP BY source
+    """
+
+    o["q06_min_probe"] = """
+        SELECT min(ts) AS min_ts, max(ts) AS max_ts, count(*) AS n FROM events
+    """
+
+    o["q07_distinct_sorted"] = """
+        SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment
+    """
+
+    o["q17_count_distinct"] = """
+        SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    """
+
+    o["q16_rollup"] = """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    o["q08_topk_per_group"] = """
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders) WHERE rk <= 3
+    """
+
+    o["q09_global_ordem"] = """
+        SELECT row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS ordem, o_orderkey
+        FROM orders WHERE year(o_orderdate) = 1995
+    """
+
+    o["q10_fill_forward"] = """
+        SELECT event_id, round(last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+        FROM (SELECT event_id, user_id, ts,
+                     CASE WHEN value < 0.2 THEN NULL ELSE value END AS v
+              FROM events)
+    """
+
+    o["q11_keyset_page"] = """
+        SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_orderdate > TIMESTAMP '1996-06-15'
+           OR (o_orderdate = TIMESTAMP '1996-06-15' AND o_orderkey > 100)
+        ORDER BY o_orderdate, o_orderkey LIMIT 500
+    """
+
+    o["q36_sessionize"] = """
+        WITH g AS (
+          SELECT user_id, event_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 600 * 1000000
+                      THEN 1 ELSE 0 END AS newsess
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id,
+                 sum(newsess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+          FROM g)
+        SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        FROM s GROUP BY user_id
+    """
+
+    o["q15_sort_desc_limit"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """
+
+    o["q12_union_dedup"] = """
+        SELECT o_orderstatus, count(*) AS n FROM (
+          SELECT DISTINCT ON (o_orderkey) * FROM (
+            SELECT * FROM orders WHERE o_totalprice > 150000
+            UNION ALL
+            SELECT * FROM orders WHERE o_orderstatus = 'O')
+        ) GROUP BY o_orderstatus
+    """
+
+    o["q13_anti_join"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+    """
+
+    o["q14_broadcast_join"] = """
+        SELECT r_name, count(*) AS n_cust, round(avg(c_acctbal), 6) AS avg_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r_name
+    """
+
+    o["q18_ptbr_money"] = """
+        SELECT l_returnflag, round(sum(round(l_extendedprice, 2)), 2) AS sum_parsed,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    o["q19_excel_dates"] = """
+        SELECT year(o_orderdate) AS yr, count(*) AS n FROM orders GROUP BY yr
+    """
+
+    o["q20_processo_pad"] = """
+        SELECT o_orderkey, lpad(CAST(o_orderkey AS VARCHAR), 20, '0') AS processo
+        FROM orders WHERE o_orderkey <= 200
+    """
+
+    o["q21_cnj_regex"] = r"""
+        SELECT regexp_matches(proc, '^\d{7}-\d{2}\.\d{4}\.\d{1}\.\d{2}\.\d{4}$') AS is_cnj,
+               count(*) AS n
+        FROM (SELECT CASE WHEN l_linenumber % 2 = 0
+                     THEN printf('%07d-%02d.2024.8.06.%04d',
+                                 l_orderkey % 10000000, l_suppkey % 100, l_partkey % 10000)
+                     ELSE 'proc-' || CAST(l_orderkey AS VARCHAR) END AS proc
+              FROM lineitem)
+        GROUP BY is_cnj
+    """
+
+    o["q22_slugify"] = r"""
+        SELECT c_custkey,
+               trim(regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9\s-]', '', 'g'),
+                                   '[-\s]+', '-', 'g'), '-') AS slug
+        FROM customer WHERE c_custkey <= 100
+    """
+
+    o["q23_date_render"] = """
+        SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS br_date
+        FROM orders WHERE year(o_orderdate) = 1995
+    """
+
+    o["q24_json_extract"] = """
+        SELECT event_type,
+               round(sum(coalesce(try_cast(json_extract_string(props, '$.k') AS DOUBLE), 0.0)),
+                     2) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type
+    """
+
+    o["q25_token_stats"] = r"""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+                 AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                 AS bpe_tokens
+        FROM documents
+    """
+
+    o["q26_quality"] = rf"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')
+                   AS toks,
+                 length(text) AS nch,
+                 length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS npunct
+          FROM documents)
+        SELECT doc_id,
+               round(0.4 * least(1.0, len(toks) / 100.0)
+                   + 0.3 * (1.0 - CASE WHEN nch > 0 THEN npunct * 1.0 / nch ELSE 0.0 END)
+                   + 0.3 * least(1.0, 5.0 * CASE WHEN len(toks) > 0
+                       THEN len(list_filter(toks, x -> x IN {STOP_SQL})) * 1.0 / len(toks)
+                       ELSE 0.0 END), 6) AS quality
+        FROM t
+    """
+
+    o["q27_fingerprint"] = r"""
+        SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    """
+
+    o["q34_langid"] = r"""
+        WITH c AS (
+          SELECT lower(text) AS s FROM documents
+        ), scored AS (
+          SELECT len(regexp_extract_all(s, '[\x{4e00}-\x{9fff}]')) AS zh,
+                 len(regexp_extract_all(s, '\b(der|die|das|und|ist|nicht|ein)\b'))
+                   + len(regexp_extract_all(s, '[äöüß]')) AS de,
+                 len(regexp_extract_all(s, '\b(el|la|los|las|que|de|es|un|una)\b'))
+                   + len(regexp_extract_all(s, '[ñ¡¿]')) AS es,
+                 len(regexp_extract_all(s, '\b(the|and|is|of|to|that|it)\b')) AS en
+          FROM c)
+        SELECT CASE WHEN greatest(zh, de, es, en) = 0 THEN 'other'
+                    WHEN zh = greatest(zh, de, es, en) THEN 'zh'
+                    WHEN en = greatest(zh, de, es, en) THEN 'en'
+                    WHEN de = greatest(zh, de, es, en) THEN 'de'
+                    ELSE 'es' END AS lang_pred,
+               count(*) AS n
+        FROM scored GROUP BY lang_pred
+    """
+
+    o["q28_dedup_exact"] = r"""
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+    """
+
+    o["q33_ngram_jaccard"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS t
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                      ELSE list_transform(range(1, len(t) - 1),
+                                          i -> array_to_string(t[i:i+2], ' ')) END) AS s
+          FROM toks
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               round(len(list_intersect(sa, sb)) * 1.0 /
+                     len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
+        FROM pairs
+        WHERE len(list_intersect(sa, sb)) * 1.0 /
+              len(list_distinct(list_concat(sa, sb))) >= 0.5
+    """
+
+    o["q29_emb_topk"] = """
+        SELECT q.vec_id AS query_id, e.vec_id, row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY list_cosine_similarity(e.embedding, q.embedding) DESC, e.vec_id)
+               AS rk
+        FROM embeddings e, embeddings q
+        WHERE q.vec_id < 3
+        QUALIFY rk <= 5
+    """
+
+    o["q30_emb_neardup"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """
+
+    o["q35_frontier_pick"] = """
+        WITH fr AS (
+          SELECT 'https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+                 source AS host, CAST(n_chars AS INT) AS score
+          FROM documents
+        ), ranked AS (
+          SELECT url, host, score,
+                 row_number() OVER (PARTITION BY host ORDER BY score DESC, url) AS host_rank
+          FROM fr
+        )
+        SELECT row_number() OVER (ORDER BY host, score DESC, url) AS ordem,
+               url, host, score, host_rank
+        FROM ranked WHERE host_rank <= 5
+    """
+
+    return o
