@@ -51,6 +51,10 @@ class WorldConfig:
     images_per_page: int = 2
     n_seeds: int = 10
     seed: int = 42
+    # politeness budget scale: host_budget = max(1, budget_scale // (1+delay)).
+    # Tests use the default (small waves); the throughput bench raises it so
+    # a wave is wide enough to measure scaling.
+    budget_scale: int = 16
     hosts: list[str] = field(default_factory=list)
 
     def __post_init__(self):
@@ -135,7 +139,7 @@ def generate_world(cfg: WorldConfig) -> dict[str, pa.Table]:
             "disallow_prefix": ["/private"] * cfg.n_hosts,
             "crawl_delay": crawl_delay.astype("int32"),
             # politeness budget per wave, derived from crawl_delay
-            "host_budget": np.maximum(1, 16 // (1 + crawl_delay)).astype("int32"),
+            "host_budget": np.maximum(1, cfg.budget_scale // (1 + crawl_delay)).astype("int32"),
         }
     )
 
@@ -162,7 +166,9 @@ def write_world(cfg: WorldConfig, out_dir: str) -> dict[str, str]:
     return paths
 
 
-def generate_images_spark(spark, image_ids_df, fmt_lossy_share: float = 0.5):
+def generate_images_spark(
+    spark, image_ids_df, fmt_lossy_share: float = 0.5, size_scale: int = 1, octaves: int = 6
+):
     """Distributed image+caption generation → BASELINE input_hint schema.
 
     ``mapInPandas`` over the distinct image-id table; each Arrow batch
@@ -170,6 +176,17 @@ def generate_images_spark(spark, image_ids_df, fmt_lossy_share: float = 0.5):
     them with the numpy codec, and computes the 64-bit perceptual hash.
     Scales linearly with executors — the generator IS a payload-table
     producer of the shape the engine must ingest at 100 TB.
+
+    IMPORTANT (measured, not theoretical): the stage's *input* is a few
+    MB of ids while its *output* is ~1000× larger, so AQE's post-shuffle
+    coalescing (sized on input bytes) collapses it to ONE task and
+    serializes the whole synth. A hash ``repartition(n, col)`` doesn't
+    help either: Catalyst merges it into the distinct's own
+    ENSURE_REQUIREMENTS exchange, which AQE may still coalesce. The
+    round-robin ``repartition(n)`` below survives as an explicit
+    REPARTITION_BY_NUM exchange that AQE never coalesces — the general
+    rule for any expansion-heavy pandas-UDF stage (fetch, decode,
+    augmentation): pin its parallelism with a round-robin repartition.
     """
     from crawler_tjce_spark import payload as P
 
@@ -182,7 +199,16 @@ def generate_images_spark(spark, image_ids_df, fmt_lossy_share: float = 0.5):
         import pandas as pd
 
         for pdf in batches:
-            rows = [P.synthesize_image_record(iid, fmt_lossy_share) for iid in pdf["image_id"]]
+            rows = [
+                P.synthesize_image_record(iid, fmt_lossy_share, size_scale, octaves)
+                for iid in pdf["image_id"]
+            ]
             yield pd.DataFrame(rows)
 
-    return image_ids_df.select("image_id").distinct().mapInPandas(gen, schema=schema)
+    n_parts = max(8, spark.sparkContext.defaultParallelism * 2)
+    return (
+        image_ids_df.select("image_id")
+        .distinct()
+        .repartition(n_parts)
+        .mapInPandas(gen, schema=schema)
+    )

@@ -111,18 +111,28 @@ def _seed_from(s: str) -> int:
     return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little")
 
 
-def synthesize_pixels(image_id: str, w: int = 48, h: int = 32) -> np.ndarray:
-    """Smooth deterministic pixels (gradients + low-freq sinusoids) so
-    the lossy path has realistic, non-degenerate content."""
+def synthesize_pixels(image_id: str, w: int = 48, h: int = 32, octaves: int = 6) -> np.ndarray:
+    """Deterministic multi-octave sinusoid texture + noise.
+
+    float32 and cache-resident by construction: the per-octave pass
+    reuses one h×w buffer, so heavier ``octaves`` adds FLOPs without
+    adding memory traffic — the synthetic stand-in stays compute-bound
+    like a real image decode, instead of saturating DRAM bandwidth the
+    way large-array RNG generation does (measured: rng-heavy synth
+    stopped scaling past ~8 local cores)."""
     rng = np.random.default_rng(_seed_from(image_id))
     yy, xx = np.mgrid[0:h, 0:w]
-    img = np.zeros((h, w, 3), dtype=np.float64)
+    grid = (xx + yy * 1.37).astype(np.float32)
+    img = np.empty((h, w, 3), dtype=np.float32)
     for c in range(3):
-        fx, fy = rng.uniform(0.02, 0.2, size=2)
-        phase = rng.uniform(0, 2 * np.pi)
-        img[:, :, c] = (
-            127 + 80 * np.sin(2 * np.pi * (fx * xx + fy * yy) + phase) + rng.normal(0, 6, (h, w))
-        )
+        acc = np.full((h, w), 127.0, dtype=np.float32)
+        for o in range(octaves):
+            f = np.float32(rng.uniform(0.02, 0.45))
+            phase = np.float32(rng.uniform(0, 2 * np.pi))
+            amp = np.float32(80.0 / (1 + o))
+            acc += amp * np.sin(np.float32(2 * np.pi) * f * grid + phase)
+        img[:, :, c] = acc
+    img += rng.normal(0, 6, (h, w, 3)).astype(np.float32)
     return img.clip(0, 255).astype(np.uint8)
 
 
@@ -133,13 +143,18 @@ def synthesize_caption(image_id: str) -> str:
     return " ".join(words)
 
 
-def synthesize_image_record(image_id: str, fmt_lossy_share: float = 0.5) -> dict:
-    """One BASELINE input_hint row, fully determined by image_id."""
+def synthesize_image_record(
+    image_id: str, fmt_lossy_share: float = 0.5, size_scale: int = 1, octaves: int = 6
+) -> dict:
+    """One BASELINE input_hint row, fully determined by image_id.
+    ``size_scale`` multiplies dimensions, ``octaves`` the per-pixel
+    compute (bench knobs for heavier fetch/decode work); fidelity
+    checks always use the defaults."""
     rng = np.random.default_rng(_seed_from(image_id) ^ 0xBEEF)
-    w = int(rng.integers(32, 64))
-    h = int(rng.integers(24, 48))
+    w = int(rng.integers(32, 64)) * size_scale
+    h = int(rng.integers(24, 48)) * size_scale
     fmt = "q5" if rng.random() < fmt_lossy_share else "rgb8"
-    px = synthesize_pixels(image_id, w, h)
+    px = synthesize_pixels(image_id, w, h, octaves)
     return {
         "image_id": image_id,
         "bytes": encode_image(px, fmt),

@@ -65,10 +65,17 @@ class SnapshotStore:
             d = os.path.join(d, f"w{wave}")
         return d
 
-    def write_wave(self, df: DataFrame, table: str, wave: int) -> str:
-        """Idempotent wave write (overwrite = safe re-run after crash)."""
+    def write_wave(
+        self, df: DataFrame, table: str, wave: int, compression: str | None = None
+    ) -> str:
+        """Idempotent wave write (overwrite = safe re-run after crash).
+        ``compression='none'`` for incompressible payload bytes — snappy
+        on encoded images burns CPU for ~0% ratio."""
         path = self.table_dir(table, wave)
-        df.write.mode("overwrite").parquet(path)
+        w = df.write.mode("overwrite")
+        if compression:
+            w = w.option("compression", compression)
+        w.parquet(path)
         return path
 
     def write_full(self, df: DataFrame, table: str, wave: int) -> str:
@@ -79,6 +86,19 @@ class SnapshotStore:
 
     def read(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
+
+    @staticmethod
+    def count_rows(path: str) -> int:
+        """Row count from parquet footers — no Spark job. Used by the
+        wave loop so per-wave bookkeeping costs ~ms, not a stage."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    total += pq.read_metadata(os.path.join(root, fn)).num_rows
+        return total
 
     def read_all_waves(self, spark: SparkSession, table: str) -> DataFrame:
         """Union of every wave partition (payload/visits/discovered read).

@@ -73,6 +73,8 @@ class CrawlRunner:
         bloom_fpp: float = 0.01,
         salt_buckets: int = 16,
         fetch_images: bool = False,
+        image_size_scale: int = 1,
+        image_octaves: int = 6,
     ):
         self.spark = spark
         self.world_dir = world_dir
@@ -83,10 +85,15 @@ class CrawlRunner:
         self.bloom_fpp = bloom_fpp
         self.salt_buckets = salt_buckets
         self.fetch_images = fetch_images
+        self.image_size_scale = image_size_scale
+        self.image_octaves = image_octaves
         self._bloom_bits: bytes | None = None
         self._bloom_k = 0
 
-        self.pages = spark.read.parquet(f"{world_dir}/pages.parquet")
+        # cached: the fetch join reads pages twice per wave (links +
+        # image refs). At real scale "pages" is the live web reached via
+        # the fetch UDF, not a table — the cache stands in for it.
+        self.pages = spark.read.parquet(f"{world_dir}/pages.parquet").persist()
         self.robots = spark.read.parquet(f"{world_dir}/robots.parquet")
         self.seeds = spark.read.parquet(f"{world_dir}/seeds.parquet")
 
@@ -159,7 +166,7 @@ class CrawlRunner:
             )
         )
         fpath = self.store.write_full(frontier, "frontier", 0)
-        frontier_rows = self.spark.read.parquet(fpath).count()
+        frontier_rows = self.store.count_rows(fpath)
         manifest = {
             "wave": 0,
             "ordem_offset": 0,
@@ -175,6 +182,14 @@ class CrawlRunner:
         t0 = time.time()
         wave = manifest["wave"]
         spark = self.spark
+        steps: dict[str, float] = {}
+        _last = time.time()
+
+        def _step(name: str) -> None:
+            nonlocal _last
+            now = time.time()
+            steps[name] = round(now - _last, 3)
+            _last = now
 
         frontier = spark.read.parquet(manifest["frontier_path"])
 
@@ -190,7 +205,8 @@ class CrawlRunner:
         )
         vpath = self.store.write_wave(visits, "visits", wave)
         picked = spark.read.parquet(vpath)
-        picked_n = picked.count()
+        picked_n = self.store.count_rows(vpath)  # footer count, no job
+        _step("pick_ordem")
         if picked_n == 0:  # stall guard (ref crawler/crawler.py:633-639 analog)
             manifest["frontier_rows"] = 0
             self.store.commit(manifest)
@@ -238,11 +254,14 @@ class CrawlRunner:
         )
         dpath = self.store.write_wave(discovered, "discovered", wave)
         discovered = spark.read.parquet(dpath)
+        _step("links_anti_join")
         self._bloom_add(discovered, wave)
+        _step("bloom_add")
 
         # 6. payload fetch (image plumbing) — optional
         if self.fetch_images:
             self._fetch_payload(fetched, wave)
+            _step("payload")
 
         # 7. next frontier = old − picked + discovered∧allowed
         frontier_next = (
@@ -253,7 +272,8 @@ class CrawlRunner:
             )
         )
         fpath = self.store.write_full(frontier_next, "frontier", wave + 1)
-        frontier_rows = spark.read.parquet(fpath).count()
+        frontier_rows = self.store.count_rows(fpath)  # footer count, no job
+        _step("frontier_next")
 
         manifest.update(
             {
@@ -269,6 +289,7 @@ class CrawlRunner:
                 "picked": picked_n,
                 "frontier_next": frontier_rows,
                 "elapsed_sec": round(time.time() - t0, 3),
+                "steps": steps,
             }
         )
         self.store.commit(manifest)
@@ -279,12 +300,14 @@ class CrawlRunner:
         from crawler_tjce_spark.datagen import generate_images_spark
 
         refs = fetched.select(F.explode("image_refs").alias("image_id")).distinct()
-        payload = generate_images_spark(self.spark, refs).select(
+        payload = generate_images_spark(
+            self.spark, refs, size_scale=self.image_size_scale, octaves=self.image_octaves
+        ).select(
             "*",
             F.lit(wave).alias("wave_fetched"),
             F.spark_partition_id().alias("part_id"),
         )
-        self.store.write_wave(payload, "payload", wave)
+        self.store.write_wave(payload, "payload", wave, compression="none")
 
     # ------------------------------------------------------------- results
     def visits_df(self) -> DataFrame:
