@@ -431,6 +431,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q37_emb_topk_lsh"] = q37_emb_topk_lsh
 
+    # -- DSR wire-format decode (golden fixture; no SQL oracle — the
+    # input is the reference's captured Power BI response, not a table)
+    def q38_dsr_decode(spark, sf):
+        import json
+
+        from crawler_tjce_spark.sources import dsr
+
+        with open("/root/reference/examples/response.json") as f:
+            raw = f.read()
+        pages = spark.createDataFrame([(0, raw)], "page_id long, payload string")
+        return dsr.decode_pages_df(spark, pages).select(
+            "ordem", "processo", "ano_orcamento", "natureza", "valor_original"
+        )
+
+    q["q38_dsr_decode"] = q38_dsr_decode
+
     # -- flagship -------------------------------------------------------------
     q["q35_frontier_pick"] = q_frontier_pick
     return q

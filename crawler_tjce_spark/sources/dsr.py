@@ -1,0 +1,289 @@
+"""Power BI DSR wire-format codec + pt-BR CSV sink.
+
+The reference consumes query results in Microsoft's compressed "DSR"
+format (observed in ``examples/response.json``; decode semantics at
+``crawler/crawler.py:687-1106``):
+
+* ``descriptor.Select``: column metadata — ``Value`` (G0..Gn), ``Name``
+  (``[Agg(]table.column[)]``);
+* ``DS[0].ValueDicts``: per-column string dictionaries (D0..Dn);
+* ``DS[0].PH[0].DM0``: the rows. Row 0 carries the page schema ``S``
+  (per column: ``N`` name, ``T`` wire type, optional ``DN`` dict ref)
+  and a dense ``C``. Every later row has a sparse ``C`` plus a bitmask
+  ``R``: bit *i* set ⇒ column *i* inherits the previous row's value,
+  clear ⇒ consume the next element of ``C``;
+* dict-encoded columns hold integer indices into ``ValueDicts[DN]``
+  unless the wire value is already a string (direct value);
+* an all-empty ``DM0=[{}]`` page is a server-side subtotal artifact
+  and decodes to nothing (ref ``crawler/crawler.py:746-754``).
+
+Spark integration: pages are independent, inheritance is sequential
+only *within* a page → ``decode_pages_df`` runs the page decoder as an
+``applyInPandas`` grouped by page id (parallelism unit = page, exactly
+the reference's materialize-then-decode shape in ``script.py:255-453``).
+
+This is a clean-room reimplementation from the observed format — the
+decoding loop, data structures and typing pipeline are original; only
+the wire semantics match the reference.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import re
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+# csv-field binding of the precatórios table (ref config.py:106-162)
+PRECATORIO_FIELDS: list[tuple[str, str, str]] = [
+    # (csv_field, type, api_name)
+    ("ordem", "int", "dfslcp_num_ordem"),
+    ("processo", "processo", "dfslcp_dsc_proc_precatorio"),
+    ("comarca", "str", "dfslcp_dsc_comarca"),
+    ("ano_orcamento", "int", "dfslcp_num_ano_orcamento"),
+    ("natureza", "str", "dfslcp_dsc_natureza"),
+    ("data_cadastro", "date", "dfslcp_dat_cadastro"),
+    ("tipo_classificacao", "str", "dfslcp_dsc_tipo_classificao"),
+    ("valor_original", "float", "dfslcp_vlr_original"),
+    ("valor_atual", "Decimal", "ValorAtualFormatado"),
+    ("situacao", "str", "dfslcp_dsc_sit_precatorio"),
+]
+
+DECODED_SCHEMA = (
+    "page_id long, row_idx int, ordem long, processo string, comarca string, "
+    "ano_orcamento long, natureza string, data_cadastro timestamp, "
+    "tipo_classificacao string, valor_original double, valor_atual decimal(18,2), "
+    "situacao string"
+)
+
+
+# ---------------------------------------------------------------------------
+# scalar coercions (python mirrors of functions/ptbr.py, used inside the
+# per-page decoder; property-tested against the Spark expressions)
+# ---------------------------------------------------------------------------
+
+def parse_number(value: Any) -> float:
+    if value is None:
+        return 0.0
+    if isinstance(value, (int, float)):
+        return float(value)
+    s = str(value).replace("R$", "").strip()
+    if not s or s.lower() == "none":
+        return 0.0
+    if "," in s and "." in s:
+        if s.rfind(".") < s.rfind(","):
+            s = s.replace(".", "").replace(",", ".")
+        else:
+            s = s.replace(",", "")
+    elif "," in s:
+        s = s.replace(",", ".")
+    try:
+        return float(s)
+    except ValueError:
+        return 0.0
+
+
+_DT_RE = re.compile(r"datetime\s*\(([^)]+)\)", re.IGNORECASE)
+
+
+def parse_date(value: Any) -> dt.datetime | None:
+    """Multi-format date (epoch-ms / epoch-s / Excel serial / datetime(...))
+    — same arms as ``ptbr.parse_multiformat_date`` (UTC)."""
+    if value is None:
+        return None
+    if isinstance(value, dt.datetime):
+        return value
+    s = str(value).strip()
+    m = _DT_RE.search(s)
+    if m:
+        try:
+            comps = [int(c.strip()) for c in m.group(1).split(",")]
+            if len(comps) >= 3:
+                if comps[1] == 0:
+                    comps[1] = 1
+                return dt.datetime(*comps[:6])
+        except ValueError:
+            return None
+        return None
+    try:
+        num = float(s)
+    except ValueError:
+        return None
+    if 1.0e11 < num < 3.0e14:
+        return dt.datetime.fromtimestamp(num / 1000.0, dt.UTC).replace(tzinfo=None)
+    if 1.0e9 < num < 3.0e9:
+        return dt.datetime.fromtimestamp(num, dt.UTC).replace(tzinfo=None)
+    if 1 < num < 80000:
+        days = int(num)
+        frac = num - days
+        return dt.datetime(1899, 12, 30) + dt.timedelta(days=days, seconds=int(frac * 86400))
+    return None
+
+
+def coerce(value: Any, field_type: str) -> Any:
+    if field_type == "int":
+        return int(parse_number(value))
+    if field_type == "float":
+        return parse_number(value)
+    if field_type == "Decimal":
+        return Decimal(str(parse_number(value))).quantize(
+            Decimal("0.01"), rounding=ROUND_HALF_UP
+        )
+    if field_type == "date":
+        return parse_date(value)
+    if field_type == "processo":
+        if isinstance(value, (int, float)):
+            return f"{value:020.0f}"
+        s = re.sub(r"[^A-Za-z0-9.\-]", "", str(value).strip())
+        return s or "-"
+    s = "-" if value is None else str(value).strip()
+    return s if s and s.lower() != "none" else "-"
+
+
+def _base_name(descriptor_name: str | None) -> str:
+    """``Sum(tbl.col)`` → ``col`` (ref ``_get_base_field_name``)."""
+    if not descriptor_name:
+        return ""
+    m = re.match(r"^[A-Za-z_]+\((.*)\)$", descriptor_name)
+    inner = m.group(1) if m else descriptor_name
+    return inner.split(".")[-1]
+
+
+# ---------------------------------------------------------------------------
+# page decode / encode
+# ---------------------------------------------------------------------------
+
+def decode_page(
+    payload: dict, fields: list[tuple[str, str, str]] = PRECATORIO_FIELDS
+) -> list[dict]:
+    """Decode one DSR response page into typed row dicts.
+
+    Works column-wise: maintains the current raw value per wire column,
+    applies the ``R`` inheritance mask, resolves dictionary indices, and
+    formats each bound column once per row.
+    """
+    data = payload["results"][0]["result"]["data"]
+    selects = data.get("descriptor", {}).get("Select", [])
+    ds = data["dsr"]["DS"][0]
+    value_dicts: dict[str, list] = ds.get("ValueDicts", {})
+    dm0 = ds.get("PH", [{}])[0].get("DM0", [])
+    if not dm0 or dm0 == [{}]:
+        return []  # subtotal/empty page artifact
+
+    by_api = {api: (csv_f, typ) for csv_f, typ, api in fields}
+    # column position → (csv_field, type) binding via descriptor names
+    binding: dict[int, tuple[str, str]] = {}
+    for idx, sel in enumerate(selects):
+        hit = by_api.get(_base_name(sel.get("Name")))
+        if hit:
+            binding[idx] = hit
+
+    schema: list[dict] = dm0[0].get("S") or []
+    ncols = len(schema)
+    raw: list[Any] = [None] * ncols  # resolved (post-dict) raw values
+    rows: list[dict] = []
+
+    for row_idx, item in enumerate(dm0):
+        c = item.get("C", [])
+        mask = 0 if row_idx == 0 else item.get("R")
+        if row_idx > 0 and mask is None:
+            mask = (1 << ncols) - 1  # no R ⇒ inherit everything
+        ci = 0
+        for col in range(ncols):
+            if row_idx > 0 and (mask >> col) & 1:
+                continue  # inherit previous value
+            if ci >= len(c):
+                continue  # short C: keep inherited value (ref fallback)
+            wire = c[ci]
+            ci += 1
+            dn = schema[col].get("DN")
+            if dn and isinstance(wire, int) and not isinstance(wire, bool):
+                vd = value_dicts.get(dn, [])
+                raw[col] = vd[wire] if 0 <= wire < len(vd) else None
+            else:
+                raw[col] = wire  # direct value (strings bypass the dict)
+        out = {}
+        for col, (csv_f, typ) in binding.items():
+            out[csv_f] = coerce(raw[col], typ)
+        out["row_idx"] = row_idx
+        rows.append(out)
+    return rows
+
+
+def encode_dm0(raw_rows: list[list[Any]], schema: list[dict]) -> list[dict]:
+    """Inverse of the row decode (for round-trip property tests and
+    synthetic fixtures): emit DM0 with maximal ``R`` inheritance."""
+    out: list[dict] = []
+    prev: list[Any] | None = None
+    for i, row in enumerate(raw_rows):
+        if i == 0:
+            out.append({"S": schema, "C": list(row)})
+        else:
+            mask = 0
+            c = []
+            for col, v in enumerate(row):
+                if prev is not None and v == prev[col]:
+                    mask |= 1 << col
+                else:
+                    c.append(v)
+            # R must be present even when 0: a missing R means
+            # "inherit every column" on the wire (ref crawler.py:912-917)
+            out.append({"C": c, "R": mask})
+        prev = list(row)
+    return out
+
+
+def decode_pages_df(spark: SparkSession, pages: DataFrame) -> DataFrame:
+    """Distributed decode: ``pages(page_id long, payload string)`` →
+    typed rows. ``applyInPandas`` per page — inheritance is sequential
+    within a page, pages decode in parallel."""
+    import pandas as pd
+
+    def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        all_rows = []
+        for pid, payload in zip(pdf["page_id"], pdf["payload"]):
+            for row in decode_page(json.loads(payload)):
+                row["page_id"] = int(pid)
+                all_rows.append(row)
+        cols = [
+            "page_id", "row_idx", "ordem", "processo", "comarca", "ano_orcamento",
+            "natureza", "data_cadastro", "tipo_classificacao", "valor_original",
+            "valor_atual", "situacao",
+        ]
+        return pd.DataFrame(all_rows, columns=cols)
+
+    return pages.groupBy("page_id").applyInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# CSV sink (ref crawler/crawler.py:1108-1201)
+# ---------------------------------------------------------------------------
+
+def write_csv_ptbr(df: DataFrame, out_path: str) -> None:
+    """Reference-parity CSV: fixed column order, header always,
+    ``data_cadastro`` → dd/MM/yyyy (empty for null), Decimal money →
+    ``R$ 1.234,56`` (float money stays plain — the reference formats
+    only ``Decimal`` fields), single output file."""
+    from pyspark.sql import functions as F
+
+    from crawler_tjce_spark.functions.ptbr import format_currency_ptbr, format_date_ptbr
+
+    out = df.select(
+        F.col("ordem").cast("string"),
+        "processo",
+        "comarca",
+        F.col("ano_orcamento").cast("string"),
+        "natureza",
+        F.coalesce(format_date_ptbr("data_cadastro"), F.lit("")).alias("data_cadastro"),
+        "tipo_classificacao",
+        F.col("valor_original").cast("string"),
+        F.coalesce(
+            format_currency_ptbr(F.coalesce(F.col("valor_atual"), F.lit(0)).cast("double")),
+            F.lit("R$ 0,00"),
+        ).alias("valor_atual"),
+        "situacao",
+    )
+    out.coalesce(1).write.mode("overwrite").option("header", True).csv(out_path)
