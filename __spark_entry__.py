@@ -447,6 +447,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q38_dsr_decode"] = q38_dsr_decode
 
+    # -- semantic-query IR (the reference's query language, P1-P4/O1-O6/W3)
+    def q39_ir_keyset_scan(spark, sf):
+        from crawler_tjce_spark.plans import ir
+
+        query = {
+            "Query": {
+                "From": [{"Name": "o", "Entity": "orders"}],
+                "Select": [
+                    {"Column": {"Property": "o_orderkey"}, "Name": "o_orderkey"},
+                    {"Column": {"Property": "o_orderdate"}, "Name": "o_orderdate"},
+                ],
+                "OrderBy": [
+                    {"Direction": 1, "Expression": {"Column": {"Property": "o_orderdate"}}},
+                    {"Direction": 1, "Expression": {"Column": {"Property": "o_orderkey"}}},
+                ],
+                "Binding": {
+                    "DataReduction": {
+                        "Primary": {
+                            "Window": {
+                                "Count": 500,
+                                "RestartTokens": [
+                                    ["datetime'1996-06-15T00:00:00'", "100L"]
+                                ],
+                            }
+                        }
+                    }
+                },
+            }
+        }
+        return ir.to_dataframe(spark, query, sf_dir=sf)
+
+    q["q39_ir_keyset_scan"] = q39_ir_keyset_scan
+
+    def q40_ir_group_agg(spark, sf):
+        from crawler_tjce_spark.plans import ir
+
+        query = {
+            "Query": {
+                "From": [{"Name": "l", "Entity": "lineitem"}],
+                "Select": [
+                    {"Column": {"Property": "l_returnflag"}, "Name": "l_returnflag"},
+                    {
+                        "Aggregation": {
+                            "Expression": {"Column": {"Property": "l_quantity"}},
+                            "Function": 0,
+                        },
+                        "Name": "sum_qty",
+                    },
+                    {
+                        "Aggregation": {
+                            "Expression": {"Column": {"Property": "l_extendedprice"}},
+                            "Function": 3,
+                        },
+                        "Name": "min_price",
+                    },
+                    {
+                        "Aggregation": {
+                            "Expression": {"Column": {"Property": "l_orderkey"}},
+                            "Function": 2,
+                        },
+                        "Name": "n",
+                    },
+                ],
+                "Where": [
+                    {
+                        "Condition": {
+                            "Comparison": {
+                                "ComparisonKind": 4,
+                                "Left": {"Column": {"Property": "l_quantity"}},
+                                "Right": {"Literal": {"Value": "40L"}},
+                            }
+                        }
+                    }
+                ],
+            }
+        }
+        df = ir.to_dataframe(spark, query, sf_dir=sf)
+        return df.select(
+            "l_returnflag",
+            F.round("sum_qty", 2).alias("sum_qty"),
+            F.round("min_price", 2).alias("min_price"),
+            "n",
+        )
+
+    q["q40_ir_group_agg"] = q40_ir_group_agg
+
     # -- flagship -------------------------------------------------------------
     q["q35_frontier_pick"] = q_frontier_pick
     return q
@@ -722,6 +808,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """
+
+    o["q39_ir_keyset_scan"] = """
+        SELECT o_orderkey, o_orderdate FROM orders
+        WHERE o_orderdate > TIMESTAMP '1996-06-15'
+           OR (o_orderdate = TIMESTAMP '1996-06-15' AND o_orderkey > 100)
+        ORDER BY o_orderdate, o_orderkey LIMIT 500
+    """
+
+    o["q40_ir_group_agg"] = """
+        SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+               round(min(l_extendedprice), 2) AS min_price,
+               count(l_orderkey) AS n
+        FROM lineitem WHERE l_quantity <= 40
+        GROUP BY l_returnflag
     """
 
     o["q35_frontier_pick"] = """

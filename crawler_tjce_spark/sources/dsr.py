@@ -59,6 +59,56 @@ DECODED_SCHEMA = (
     "situacao string"
 )
 
+# positional bindings for the other two sources (the reference hardcodes
+# these by column index: edital_crawler.py:472-487, pagamentos_crawler.py:482-516)
+EDITAL_FIELDS_POS: list[tuple[str, str]] = [
+    ("ordem", "int"),
+    ("ano_orcamento", "int"),
+    ("natureza", "str"),
+    ("data_cadastro", "str"),  # the reference keeps edital dates as strings
+    ("precatorio", "str"),
+    ("status", "str"),
+    ("valor", "Decimal"),
+]
+EDITAL_SCHEMA = (
+    "page_id long, row_idx int, ordem long, ano_orcamento long, natureza string, "
+    "data_cadastro string, precatorio string, status string, valor decimal(18,2)"
+)
+
+PAGAMENTO_FIELDS_POS: list[tuple[str, str]] = [
+    ("quantidade", "int"),
+    ("modalidade", "str"),
+    ("natureza", "str"),
+    ("exercicio", "int"),
+    ("data_protocolo", "str"),
+    ("precatorio", "str"),
+    ("credor_beneficiario", "str"),
+    ("tipo", "str"),
+    ("data_pagamento", "str"),
+    ("cpf_cnpj", "str"),
+    ("valor_bruto", "Decimal"),
+    ("previdencia", "Decimal"),
+    ("irrf", "Decimal"),
+    ("honorarios", "Decimal"),
+    ("valor_bruto_contratual", "Decimal"),
+    ("rra", "Decimal"),
+    ("valor_liquido", "Decimal"),
+]
+PAGAMENTO_SCHEMA = (
+    "page_id long, row_idx int, quantidade long, modalidade string, natureza string, "
+    "exercicio long, data_protocolo string, precatorio string, "
+    "credor_beneficiario string, tipo string, data_pagamento string, cpf_cnpj string, "
+    "valor_bruto decimal(18,2), previdencia decimal(18,2), irrf decimal(18,2), "
+    "honorarios decimal(18,2), valor_bruto_contratual decimal(18,2), "
+    "rra decimal(18,2), valor_liquido decimal(18,2)"
+)
+
+TABLES = {
+    "precatorio": (PRECATORIO_FIELDS, None, DECODED_SCHEMA),
+    "edital": (None, EDITAL_FIELDS_POS, EDITAL_SCHEMA),
+    "pagamento": (None, PAGAMENTO_FIELDS_POS, PAGAMENTO_SCHEMA),
+}
+
 
 # ---------------------------------------------------------------------------
 # scalar coercions (python mirrors of functions/ptbr.py, used inside the
@@ -157,13 +207,17 @@ def _base_name(descriptor_name: str | None) -> str:
 # ---------------------------------------------------------------------------
 
 def decode_page(
-    payload: dict, fields: list[tuple[str, str, str]] = PRECATORIO_FIELDS
+    payload: dict,
+    fields: list[tuple[str, str, str]] = PRECATORIO_FIELDS,
+    positional_fields: list[tuple[str, str]] | None = None,
 ) -> list[dict]:
     """Decode one DSR response page into typed row dicts.
 
     Works column-wise: maintains the current raw value per wire column,
     applies the ``R`` inheritance mask, resolves dictionary indices, and
-    formats each bound column once per row.
+    formats each bound column once per row. Column→field binding is by
+    descriptor name (precatórios style, ``fields`` triples) or by wire
+    position (editais/pagamentos style, ``positional_fields`` pairs).
     """
     data = payload["results"][0]["result"]["data"]
     selects = data.get("descriptor", {}).get("Select", [])
@@ -173,13 +227,15 @@ def decode_page(
     if not dm0 or dm0 == [{}]:
         return []  # subtotal/empty page artifact
 
-    by_api = {api: (csv_f, typ) for csv_f, typ, api in fields}
-    # column position → (csv_field, type) binding via descriptor names
     binding: dict[int, tuple[str, str]] = {}
-    for idx, sel in enumerate(selects):
-        hit = by_api.get(_base_name(sel.get("Name")))
-        if hit:
-            binding[idx] = hit
+    if positional_fields is not None:
+        binding = {i: (f, t) for i, (f, t) in enumerate(positional_fields)}
+    else:
+        by_api = {api: (csv_f, typ) for csv_f, typ, api in fields}
+        for idx, sel in enumerate(selects):
+            hit = by_api.get(_base_name(sel.get("Name")))
+            if hit:
+                binding[idx] = hit
 
     schema: list[dict] = dm0[0].get("S") or []
     ncols = len(schema)
@@ -236,26 +292,31 @@ def encode_dm0(raw_rows: list[list[Any]], schema: list[dict]) -> list[dict]:
     return out
 
 
-def decode_pages_df(spark: SparkSession, pages: DataFrame) -> DataFrame:
+def decode_pages_df(
+    spark: SparkSession, pages: DataFrame, table: str = "precatorio"
+) -> DataFrame:
     """Distributed decode: ``pages(page_id long, payload string)`` →
-    typed rows. ``applyInPandas`` per page — inheritance is sequential
-    within a page, pages decode in parallel."""
+    typed rows for one of the three source tables. ``applyInPandas``
+    per page — inheritance is sequential within a page, pages decode in
+    parallel."""
     import pandas as pd
+
+    fields, positional, schema = TABLES[table]
+    cols = ["page_id", "row_idx"] + (
+        [f for f, _, _ in fields] if fields else [f for f, _ in positional]
+    )
 
     def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
         all_rows = []
         for pid, payload in zip(pdf["page_id"], pdf["payload"]):
-            for row in decode_page(json.loads(payload)):
+            for row in decode_page(
+                json.loads(payload), fields or PRECATORIO_FIELDS, positional
+            ):
                 row["page_id"] = int(pid)
                 all_rows.append(row)
-        cols = [
-            "page_id", "row_idx", "ordem", "processo", "comarca", "ano_orcamento",
-            "natureza", "data_cadastro", "tipo_classificacao", "valor_original",
-            "valor_atual", "situacao",
-        ]
         return pd.DataFrame(all_rows, columns=cols)
 
-    return pages.groupBy("page_id").applyInPandas(_decode, schema=DECODED_SCHEMA)
+    return pages.groupBy("page_id").applyInPandas(_decode, schema=schema)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,64 @@
+"""Entity dimension builder (reference S2/S8).
+
+The reference crawls the distinct entity list with a last-value keyset
+token (``schemas/entity_mapping_crawler.py:36-121``), dedups in a
+Python set, drops the ``'--- Selecione'`` placeholder, sorts, writes a
+utf-8-sig CSV and derives the slug↔name mapping
+(``entity_mapping.py:32-288``). In Spark the whole loop is one
+declarative plan: distinct → sentinel filter → slugify → sort. Keyset
+pagination is unnecessary (partitioned scan replaces it); the IR
+translator (``plans/ir.py``) covers that mechanism where parity needs
+it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from crawler_tjce_spark.functions.slug import slugify_expr
+
+PLACEHOLDER_PREFIX = "--- "  # ref entity_mapping_crawler.py:144-147
+
+
+def build_entity_mapping(names: DataFrame, name_col: str = "official_name") -> DataFrame:
+    """names(official_name) → sorted (slug, official_name) dimension.
+
+    Distinct + placeholder filter + computed slug; deterministic order.
+    Duplicate slugs keep the lexicographically-first name (stable).
+    """
+    cleaned = (
+        names.select(F.trim(F.col(name_col)).alias("official_name"))
+        .filter(F.col("official_name").isNotNull() & (F.col("official_name") != ""))
+        .filter(~F.col("official_name").startswith(PLACEHOLDER_PREFIX))
+        .distinct()
+    )
+    mapped = cleaned.withColumn("slug", slugify_expr("official_name"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("slug").orderBy("official_name")
+    return (
+        mapped.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .select("slug", "official_name")
+        .orderBy("slug")
+    )
+
+
+def write_entities_csv(mapping: DataFrame, out_path: str) -> None:
+    """utf-8-sig single CSV (the reference writes a BOM for Excel —
+    ``entity_mapping_crawler.py:284-310``)."""
+    import csv
+    import io
+    import os
+
+    rows = mapping.orderBy("official_name").collect()  # dimension: small by contract
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    buf = io.StringIO()
+    w = csv.writer(buf)
+    w.writerow(["official_name", "slug"])
+    for r in rows:
+        w.writerow([r["official_name"], r["slug"]])
+    with open(out_path, "w", encoding="utf-8-sig", newline="") as f:
+        f.write(buf.getvalue())
