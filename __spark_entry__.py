@@ -447,6 +447,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q38_dsr_decode"] = q38_dsr_decode
 
+    # -- reshaping / analytic extensions ---------------------------------
+    def q41_pivot(spark, sf):  # pivot (conditional-agg form for oracle parity)
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.groupBy("l_returnflag")
+            .pivot("l_linestatus", ["O", "F"])
+            .sum("l_quantity")
+            .select(
+                "l_returnflag",
+                F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_open"),
+                F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_filled"),
+            )
+        )
+
+    q["q41_pivot"] = q41_pivot
+
+    def q42_cube(spark, sf):  # grouping-sets beyond the reference's Subtotal:1
+        li = _t(spark, sf, "lineitem")
+        return li.cube("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty")
+        )
+
+    q["q42_cube"] = q42_cube
+
+    def q43_asof_join(spark, sf):  # as-of join (no native Spark operator)
+        e = _t(spark, sf, "events").select("event_id", "ts")
+        od = _t(spark, sf, "orders").select("o_orderdate").distinct()
+        matched = joins.asof_join_timeline(
+            e, od, left_ts="ts", right_ts="o_orderdate", right_cols=["o_orderdate"]
+        )
+        return (
+            matched.filter(F.col("o_orderdate").isNotNull())
+            .groupBy(F.year("o_orderdate").alias("yr"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    q["q43_asof_join"] = q43_asof_join
+
+    def q44_percentiles(spark, sf):  # exact interpolated quantiles per group
+        li = _t(spark, sf, "lineitem")
+        return li.groupBy("l_returnflag").agg(
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50"),
+            F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95"),
+        )
+
+    q["q44_percentiles"] = q44_percentiles
+
+    def q45_unpivot(spark, sf):  # unpivot/stack → long form
+        li = _t(spark, sf, "lineitem")
+        long = li.selectExpr(
+            "stack(2, 'quantity', l_quantity, 'extendedprice', l_extendedprice)"
+            " AS (measure, value)"
+        )
+        return long.groupBy("measure").agg(
+            F.round(F.sum("value"), 2).alias("total"), F.count(F.lit(1)).alias("n")
+        )
+
+    q["q45_unpivot"] = q45_unpivot
+
     # -- semantic-query IR (the reference's query language, P1-P4/O1-O6/W3)
     def q39_ir_keyset_scan(spark, sf):
         from crawler_tjce_spark.plans import ir
@@ -808,6 +867,44 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """
+
+    o["q41_pivot"] = """
+        SELECT l_returnflag,
+               round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2)
+                 AS qty_open,
+               round(coalesce(sum(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2)
+                 AS qty_filled
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    o["q42_cube"] = """
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """
+
+    o["q43_asof_join"] = """
+        SELECT year(o.o_orderdate) AS yr, count(*) AS n
+        FROM events e ASOF JOIN (SELECT DISTINCT o_orderdate FROM orders) o
+          ON e.ts >= o.o_orderdate
+        GROUP BY yr
+    """
+
+    o["q44_percentiles"] = """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        FROM lineitem GROUP BY l_returnflag
+    """
+
+    o["q45_unpivot"] = """
+        SELECT measure, round(sum(value), 2) AS total, count(*) AS n
+        FROM (
+          SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+          UNION ALL
+          SELECT 'extendedprice', l_extendedprice FROM lineitem)
+        GROUP BY measure
     """
 
     o["q39_ir_keyset_scan"] = """

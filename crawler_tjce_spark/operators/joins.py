@@ -9,7 +9,7 @@ Each becomes an explicit Spark join with the right physical strategy.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from crawler_tjce_spark.functions.slug import slugify_expr
@@ -48,6 +48,52 @@ def name_to_slug(df: DataFrame, mapping: DataFrame, name_col: str = "official_na
         .withColumn("slug", F.coalesce(F.col("_mapped"), slugify_expr(name_col)))
         .drop("_mapped")
     )
+
+
+def asof_join_timeline(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: each left row gets the right row with the greatest
+    ``right_ts`` ≤ ``left_ts`` (DuckDB/kdb ASOF semantics; Spark has no
+    native operator).
+
+    Union-timeline construction: tag both sides, sort the union by
+    (ts, tag) — right rows sort before left rows at equal ts so an
+    equal-timestamp right row is visible — and fill the right columns
+    forward. One pass, no range explosion. ``partition_by`` keys the
+    timeline (per-entity as-of); without it the window is global —
+    fine for bounded dimensions, repartition-by-range at scale.
+    """
+    keys = partition_by or []
+    lt = left.withColumn("_ts", F.col(left_ts).cast("timestamp")).withColumn(
+        "_tag", F.lit(1)
+    )
+    rt = right.select(
+        F.col(right_ts).cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_tag"),
+        *[F.col(c) for c in keys],
+        *[F.col(c) for c in right_cols],
+    )
+    for c in right_cols:
+        lt = lt.withColumn(c, F.lit(None).cast(dict(rt.dtypes)[c]))
+    lcols = [c for c in lt.columns if c not in ("_ts", "_tag")]
+    merged = lt.select("_ts", "_tag", *lcols).unionByName(
+        rt, allowMissingColumns=True
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = merged
+    for c in right_cols:
+        filled = filled.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return filled.filter(F.col("_tag") == 1).drop("_ts", "_tag")
 
 
 def dict_decode_join(
