@@ -420,6 +420,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q30_emb_neardup"] = q30_emb_neardup
 
+    def q46_emb_topk_ivf(spark, sf):  # no SQL oracle (IVF coarse quantizer)
+        e = _t(spark, sf, "embeddings")
+        qv = e.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        return similarity.cosine_topk_ivf(
+            e, qv, 5, dim=64, n_cells=8, nprobe=3
+        ).select("query_id", "vec_id", "rk")
+
+    q["q46_emb_topk_ivf"] = q46_emb_topk_ivf
+
     def q37_emb_topk_lsh(spark, sf):  # no SQL oracle (LSH bucketing)
         e = _t(spark, sf, "embeddings")
         qv = e.filter(F.col("vec_id") < 3).select(

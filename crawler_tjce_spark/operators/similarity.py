@@ -77,6 +77,95 @@ def lsh_bucket_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_index(
+    vectors: DataFrame,
+    dim: int,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids (Spark ML, deterministic
+    seed) + per-vector cell assignment.
+
+    Returns (vectors + ``_cell`` column, centroid list). At 10^11
+    vectors this is the standard shape: train on a sample, assign in
+    one pass, store cell as a partition column so probes prune files.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = vectors.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("f"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="f")
+    model = km.fit(train)
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    assigned = (
+        model.transform(
+            vectors.withColumn("f", array_to_vector(F.col(vec_col).cast("array<double>")))
+        )
+        .withColumnRenamed("prediction", "_cell")
+        .drop("f")
+    )
+    _ = vector_to_array  # imported for symmetry; assignment keeps the array column
+    return assigned, centroids
+
+
+def cosine_topk_ivf(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    dim: int,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF: probe the ``nprobe`` nearest cells per query,
+    exact cosine inside them.
+
+    The candidate join is an equi-join on the cell id (queries exploded
+    to their probe list, broadcast), so the scan touches ~nprobe/n_cells
+    of the data — the IVF pruning story; recall tuned by ``nprobe``.
+    """
+    assigned, centroids = ivf_index(vectors, dim, n_cells, vec_col, seed)
+
+    def _probe_cells(qv: list[float]) -> list[int]:
+        import numpy as np
+
+        c = np.asarray(centroids)
+        q = np.asarray(qv, dtype=float)
+        d = ((c - q) ** 2).sum(axis=1)
+        return [int(i) for i in np.argsort(d)[:nprobe]]
+
+    q_rows = queries.select(query_id_col, query_vec_col).collect()  # query set: small
+    probe_rows = [
+        (r[query_id_col], r[query_vec_col], cell)
+        for r in q_rows
+        for cell in _probe_cells(list(r[query_vec_col]))
+    ]
+    q = F.broadcast(
+        assigned.sparkSession.createDataFrame(
+            probe_rows, f"{query_id_col} long, {query_vec_col} array<float>, _cell int"
+        )
+    )
+    joined = assigned.join(q, "_cell")
+    sim = (_dot(F.col(vec_col), F.col(query_vec_col)) / (
+        _norm(F.col(vec_col)) * _norm(F.col(query_vec_col))
+    )).alias("cosine")
+    scored = joined.select(query_id_col, id_col, sim)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(query_id_col, id_col, "cosine", "rk")
+    )
+
+
 def cosine_topk_lsh(
     vectors: DataFrame,
     queries: DataFrame,

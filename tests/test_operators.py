@@ -173,6 +173,25 @@ def test_embedding_near_dup_and_topk(spark):
     assert got == [(0, 1), (1, 2)]
 
 
+def test_ivf_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["rk"]): r["vec_id"]
+        for r in similarity.cosine_topk(emb, q, 5).collect()
+    }
+    ivf = {
+        (r["query_id"], r["rk"]): r["vec_id"]
+        for r in similarity.cosine_topk_ivf(emb, q, 5, dim=64, n_cells=8, nprobe=3).collect()
+    }
+    assert len(ivf) == 25
+    assert all(ivf[(i, 1)] == i for i in range(5))  # self-match survives probing
+    recall = sum(1 for k in exact if ivf.get(k) == exact[k]) / len(exact)
+    assert recall >= 0.6  # approximate by design; nprobe=3 of 8 cells
+
+
 def test_lsh_topk_subset_of_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") < 3).select(

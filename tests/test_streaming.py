@@ -59,6 +59,39 @@ def test_session_counts_stream(spark, stream_events):
     assert rows and all(r["n_events"] >= 1 and r["sess_end"] > r["sess_start"] for r in rows)
 
 
+def test_stateful_politeness_limit(spark, tmp_path):
+    """applyInPandasWithState: per-host budget enforced across the
+    stream with running state; served_seq contiguous per host."""
+    import pandas as pd
+
+    from crawler_tjce_spark.streaming.stateful import politeness_limit_stream
+
+    src_dir = tmp_path / "requests"
+    src_dir.mkdir()
+    rows = [
+        {"host": f"h{i % 4}", "url": f"https://h{i % 4}/p/{i}", "host_budget": 3 + (i % 4)}
+        for i in range(80)
+    ]
+    pd.DataFrame(rows).to_parquet(src_dir / "p0.parquet")
+    schema = spark.read.parquet(str(src_dir)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src_dir))
+    q = windowed.run_bounded(politeness_limit_stream(stream), "served_out")
+    try:
+        served = spark.sql("SELECT * FROM served_out").collect()
+    finally:
+        q.stop()
+    by_host = {}
+    for r in served:
+        by_host.setdefault(r["host"], []).append(r["served_seq"])
+    # budgets: h0→3, h1→4, h2→5, h3→6; sequences contiguous from 1
+    assert {h: sorted(v) for h, v in by_host.items()} == {
+        "h0": [1, 2, 3],
+        "h1": [1, 2, 3, 4],
+        "h2": [1, 2, 3, 4, 5],
+        "h3": [1, 2, 3, 4, 5, 6],
+    }
+
+
 def test_dedup_stream(spark, sf_dir, events_dir):
     schema = spark.read.parquet(events_dir).schema
     src = spark.readStream.schema(schema).parquet(events_dir)
