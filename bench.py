@@ -341,14 +341,17 @@ def main() -> None:
         queries_worker(sys.argv[2], sys.argv[3])
         return
     queries = run_queries(SF_DIR)
-    scaling = run_crawl_scaling()
-    write_bench_md(scaling, queries, SF_DIR)
+    try:
+        scaling = run_crawl_scaling()
+        write_bench_md(scaling, queries, SF_DIR)
+    except Exception as e:  # never lose the JSON line to a scaling crash
+        scaling = {"error": str(e)[:200], "urls_per_sec_4n": None}
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
             {
                 "metric": "frontier_urls_scheduled_fetched_per_sec",
-                "value": scaling["urls_per_sec_4n"],
+                "value": scaling.get("urls_per_sec_4n"),
                 "unit": "urls/sec",
                 "queries": queries,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
