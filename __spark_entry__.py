@@ -483,10 +483,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q42_cube"] = q42_cube
 
     def q43_asof_join(spark, sf):  # as-of join (no native Spark operator)
-        e = _t(spark, sf, "events").select("event_id", "ts")
+        # lineitem shipdates vs order dates overlap (1992-1998) → a rich
+        # multi-group result, unlike events (which all postdate orders)
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_linenumber", "l_shipdate")
         od = _t(spark, sf, "orders").select("o_orderdate").distinct()
         matched = joins.asof_join_timeline(
-            e, od, left_ts="ts", right_ts="o_orderdate", right_cols=["o_orderdate"]
+            li, od, left_ts="l_shipdate", right_ts="o_orderdate", right_cols=["o_orderdate"]
         )
         return (
             matched.filter(F.col("o_orderdate").isNotNull())
@@ -897,8 +899,8 @@ def oracle_sql() -> dict[str, str]:
 
     o["q43_asof_join"] = """
         SELECT year(o.o_orderdate) AS yr, count(*) AS n
-        FROM events e ASOF JOIN (SELECT DISTINCT o_orderdate FROM orders) o
-          ON e.ts >= o.o_orderdate
+        FROM lineitem l ASOF JOIN (SELECT DISTINCT o_orderdate FROM orders) o
+          ON l.l_shipdate >= o.o_orderdate
         GROUP BY yr
     """
 
