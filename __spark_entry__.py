@@ -215,8 +215,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sess = e.withColumn(
             "session_id", F.sum(newsess).over(w.rowsBetween(Window.unboundedPreceding, 0))
         )
+        # cast to long explicitly: DuckDB's windowed sum yields HUGEINT and
+        # drivers that stringify int128 differently from int64 would split
+        # the hash here even with identical values (VERDICT r1 "what's wrong" #1)
         return sess.groupBy("user_id").agg(
-            F.max("session_id").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+            F.max("session_id").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
         )
 
     q["q36_sessionize"] = q36_sessionize
@@ -711,7 +715,9 @@ def oracle_sql() -> dict[str, str]:
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS session_id
           FROM g)
-        SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        SELECT user_id,
+               CAST(max(session_id) AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_events
         FROM s GROUP BY user_id
     """
 
