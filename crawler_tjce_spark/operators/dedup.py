@@ -51,23 +51,43 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def shingle_hashes(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) -> DataFrame:
+    """Exploded DISTINCT shingles per document, pre-hashed to 8 bytes.
+
+    The shared substrate for MinHash signatures, exact Jaccard verify,
+    and prefix-filtered similarity joins — compute (and cache) it once;
+    every downstream shuffle then moves (id, long) rows only.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("_s"),
+        )
+        .withColumn("_h", F.xxhash64("_s"))
+        .select(id_col, "_h")
+    )
+
+
 def minhash_signature(
     df: DataFrame, text_col: str, id_col: str, num_hashes: int = 32, shingle_k: int = 3
 ) -> DataFrame:
     """Per-document MinHash signature as ``num_hashes`` long columns.
 
-    h_i(doc) = min over shingles s of xxhash64(s, i). The per-seed hash
-    family reuses the built-in ``xxhash64`` by appending the seed index
-    as an extra hashed column — one explode + one map-side-combinable
-    groupBy; signature width costs columns, not passes.
+    h_i(doc) = min over shingles s of xxhash64(xxhash64(s), i) — seeding
+    the built-in ``xxhash64`` over an 8-byte pre-hash instead of re-hashing
+    the shingle string per seed, so signature width costs cheap long-hash
+    columns, not repeated string passes. Min over distinct shingles equals
+    min over all occurrences, so the distinct substrate is lossless.
     """
-    ex = df.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("_sh")
-    )
+    ex = shingle_hashes(df, text_col, id_col, shingle_k)
+    return _minhash_from_hashes(ex, id_col, num_hashes)
+
+
+def _minhash_from_hashes(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
     aggs = [
-        F.min(F.xxhash64(F.col("_sh"), F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh{i}") for i in range(num_hashes)
     ]
-    return ex.groupBy(id_col).agg(*aggs)
+    return sh.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -83,6 +103,11 @@ def lsh_candidate_pairs(
     Buckets larger than ``lsh_max_bucket`` are dropped (skew guard; at
     web scale these are boilerplate clusters handled by exact dedup).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently weaken the banding guarantee"
+        )
     rows = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -134,61 +159,30 @@ def jaccard_verify(
     )
 
 
-def dedup_minhash_lsh(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    threshold: float = 0.8,
-    num_hashes: int = 32,
-    bands: int = 8,
-    shingle_k: int = 3,
+def _shared_count_verify(
+    cand: DataFrame, sh: DataFrame, sizes: DataFrame, id_col: str
 ) -> DataFrame:
-    """Near-duplicate pairs with Jaccard ≥ threshold (MinHash→LSH→verify)."""
-    sig = minhash_signature(df, text_col, id_col, num_hashes, shingle_k)
-    cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
-    return jaccard_verify(cand, df, text_col, id_col, shingle_k).filter(
-        F.col("jaccard") >= threshold
-    )
+    """Exact Jaccard for candidate pairs from the shared-shingle COUNT.
 
-
-# ---------------------------------------------------------------------------
-# n-gram Jaccard (exact, for bounded candidate sets / oracle parity)
-# ---------------------------------------------------------------------------
-
-def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float, shingle_k: int = 3
-) -> DataFrame:
-    """All-pairs exact n-gram Jaccard ≥ threshold.
-
-    Candidate generation: documents sharing ≥1 shingle (explode +
-    self-equi-join on the shingle hash — the sparse-similarity-join
-    trick; never a cross join). Pairs sharing no shingle have J=0 and
-    can't pass any positive threshold.
-
-    Intersection sizes come from COUNTING the join matches per pair
-    (each shared distinct shingle contributes exactly one joined row),
-    so J = shared / (|A| + |B| − shared) with no per-pair array
-    arithmetic — measured ~4× faster than ``array_intersect`` on the
-    sf0.1 documents table, and the shuffle key stays an 8-byte hash.
+    Each distinct shingle both docs contain contributes exactly one row
+    to the (id_a-join → id_b-join, hash-equal) chain, so
+    J = shared / (|A| + |B| − shared) with no per-pair array arithmetic.
+    Pairs sharing zero shingles drop out of the inner join — they have
+    J = 0 and can't pass any positive threshold.
     """
-    # persist: the shingle expression (tokenize + slice + join per doc)
-    # dominates cost and this plan consumes it three times (sizes + both
-    # join sides) — measured 3× the whole query without the cache
-    sh = (
-        df.select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("_s"),
-        )
-        .withColumn("_s", F.xxhash64("_s"))
-        .persist()
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # unique names on the B side: both sides descend from the same `sh` plan,
+    # and Spark's self-join resolution can silently bind a same-named column
+    # reference to the wrong side (turning the equi-join into a blow-up), so
+    # nothing here shares a name across the join
+    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_h", "_ha")
+    b = sh.withColumnRenamed(id_col, "_idb").withColumnRenamed("_h", "_hb")
+    # hash equality is part of the equi-join key (not a post-filter), so the
+    # B-side join emits only matching shingles — |A∩B| rows per pair, never
+    # the |A|·|B| cross
     shared = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        cand.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("_idb")) & (F.col("_ha") == F.col("_hb")))
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_shared"))
     )
     return (
@@ -198,30 +192,146 @@ def ngram_jaccard_pairs(
             "jaccard",
             F.col("_shared").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_shared")),
         )
-        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs with Jaccard ≥ threshold (MinHash→LSH→verify).
+
+    The exploded-shingle substrate is computed ONCE and cached — the
+    signature aggregation, the per-doc size counts, and the exact
+    candidate verification all reuse it (it dominates the cost: tokenize
+    + slice + join per doc). The result is eagerly materialized via
+    ``localCheckpoint`` so the cache can be released before returning —
+    no leaked persist in long-lived sessions.
+    """
+    sh = shingle_hashes(df, text_col, id_col, shingle_k).persist()
+    try:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+        sig = _minhash_from_hashes(sh, id_col, num_hashes)
+        cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
+        out = (
+            _shared_count_verify(cand, sh, sizes, id_col)
+            .filter(F.col("jaccard") >= threshold)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sh.unpersist()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, for bounded candidate sets / oracle parity)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float, shingle_k: int = 3
+) -> DataFrame:
+    """All-pairs EXACT n-gram Jaccard ≥ threshold, prefix-filtered.
+
+    Candidate generation uses the prefix-filter principle (Bayardo et
+    al., WWW'07 "All Pairs"; Xiao et al., WWW'08 PPJoin): order shingles
+    globally by (document frequency asc, hash) and index only each
+    document's first ``|x| − ceil(t·|x|) + 1`` shingles. Any pair with
+    J ≥ t must share an indexed prefix shingle, so the self-equi-join
+    on prefix shingles is a LOSSLESS candidate generator — and it is
+    what bounds hot "boilerplate" shingles: a shingle shared by D
+    documents sorts LAST in the frequency order and lands in almost no
+    prefixes, so it no longer contributes D²/2 join rows (the round-1
+    scale-killer). Exact verification then computes J from the
+    shared-shingle COUNT over the full shingle sets.
+
+    The shingle substrate is cached once and released before returning
+    (eager ``localCheckpoint`` on the small pair set — no leaked persist).
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_hashes(df, text_col, id_col, shingle_k).persist()
+    try:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
+        dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        w = Window.partitionBy(id_col).orderBy("_df", "_h")
+        prefix = (
+            sh.join(dfreq, "_h")
+            .withColumn("_rn", F.row_number().over(w))
+            .join(sizes, id_col)
+            .filter(F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
+            .select(id_col, "_h")
+        )
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a._h") == F.col("b._h"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+            .distinct()
+        )
+        out = (
+            _shared_count_verify(cand, sh, sizes, id_col)
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        sh.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFrame:
+def simhash(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 64, token_hash: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash per document, fully JVM-side.
 
-    Token hash = xxhash64(token); bit b votes +1 if set else −1; the
-    sign of the vote sum sets the output bit. Implemented as one
-    explode + 64 conditional-sum aggregates (map-side combinable).
+    Token hash: bit b votes +1 if set else −1; the sign of the vote sum
+    sets the output bit. Implemented as one explode + 64 conditional-sum
+    aggregates (map-side combinable).
+
+    ``token_hash``:
+      * ``"xxhash64"`` (default) — fastest, the 100 TB path.
+      * ``"md5"`` — bits 0–31 from the first 8 hex chars of md5(token),
+        bits 32–63 from the next 8. Slower, but *independently
+        re-computable in ANSI SQL* (DuckDB: ``CAST('0x'||substr(md5(t),…)
+        AS BIGINT)``), which is what lets the driver's oracle gate verify
+        the whole SimHash pipeline value-for-value.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.transform(ws_tokens(text_col), F.lower)).alias("_t")
-    ).withColumn("_h", F.xxhash64("_t"))
+    )
+    if token_hash == "xxhash64":
+        toks = toks.withColumn("_h", F.xxhash64("_t"))
+        bit = lambda b: F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1))  # noqa: E731
+    elif token_hash == "md5":
+        if bits > 64:
+            raise ValueError("md5 token hash supplies 64 bits")
+        toks = (
+            toks.withColumn("_m", F.md5("_t"))
+            .withColumn("_h1", F.conv(F.substring("_m", 1, 8), 16, 10).cast("long"))
+            .withColumn("_h2", F.conv(F.substring("_m", 9, 8), 16, 10).cast("long"))
+        )
+        bit = lambda b: (  # noqa: E731
+            F.shiftright(F.col("_h1"), b).bitwiseAND(F.lit(1))
+            if b < 32
+            else F.shiftright(F.col("_h2"), b - 32).bitwiseAND(F.lit(1))
+        )
+    else:
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
+        F.sum(F.when(bit(b) == 1, 1).otherwise(-1)).alias(f"v{b}") for b in range(bits)
     ]
     agg = toks.groupBy(id_col).agg(*votes)
     sim = F.lit(0).cast("long")
@@ -233,15 +343,19 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 64) -> DataFr
 
 
 def simhash_near_pairs(
-    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash Hamming distance ≤ max_hamming.
 
     Banding: split the 64-bit hash into 4×16-bit chunks; any pair within
     Hamming ≤3 must agree on ≥1 chunk (pigeonhole) → equi-join per chunk,
-    then exact ``bit_count(xor)`` verify.
+    then exact ``bit_count(xor)`` verify. The pigeonhole cover makes this
+    EXACT over simhash values (no recall loss), so with ``token_hash=
+    "md5"`` the whole operator is verifiable against an independent SQL
+    re-computation.
     """
-    s = simhash(df, text_col, id_col)
+    s = simhash(df, text_col, id_col, token_hash=token_hash)
     chunks = F.array(
         *[
             F.struct(
@@ -277,37 +391,84 @@ def simhash_near_pairs(
 # ---------------------------------------------------------------------------
 
 def embedding_near_dup_pairs(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    block_rows: int = 8192,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """Pairs with cosine similarity ≥ threshold over an embedding column.
+    """Pairs with cosine similarity ≥ threshold — EXACT, blocked GEMM.
 
-    Exact all-pairs via self-join (correct baseline; the scale path
-    prunes candidates with the LSH bucketing in ``similarity.py``).
-    Dot products use ``zip_with``+``aggregate`` — JVM-side, no UDF.
+    At thresholds like 0.4 on isotropic embeddings there is no
+    recall-lossless bucketing (every sign-LSH / IVF scheme misses
+    boundary pairs), so the exact operator must touch all N²/2 pairs.
+    The scale question is the SHAPE of that work. Round 1 used a
+    broadcast nested-loop with per-pair ``zip_with`` folds — one
+    undistributable task. This version:
+
+    * hashes ids into B = ceil(N / block_rows) blocks;
+    * maps each vector to its B block-pair tasks (an unordered pair
+      {p,q} keys exactly one task, so no post-dedup) — a plain
+      shuffle-by-key, shuffle volume N·B rows;
+    * each task computes its cosine sub-matrix as ONE float64 numpy
+      GEMM over the Arrow batch (``applyInPandas``) and emits only
+      qualifying pairs.
+
+    B(B+1)/2 evenly-sized tasks spread over the cluster; per-pair cost
+    is a fused BLAS multiply-add (~100× the zip_with fold). At 10^9
+    vectors you raise ``block_rows`` to what executor memory holds
+    (2 blocks × rows × dim × 8 B) and the quadratic task count — the
+    irreducible cost of exactness — parallelizes across executors.
+    For recall-tolerant workloads the sub-quadratic paths are
+    ``similarity.cosine_topk_lsh`` / ``cosine_topk_ivf``.
     """
-    n = df.select(
-        F.col(id_col),
+    import pandas as pd
+
+    if n_blocks is None:
+        n_rows = df.count()
+        n_blocks = max(1, -(-n_rows // block_rows))
+    B = n_blocks
+    dim_threshold = float(threshold)
+
+    tagged = df.select(
+        F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.sqrt(
-            F.aggregate(
-                F.col(vec_col),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double") * x.cast("double"),
-            )
-        ).alias("_norm"),
+        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B)).cast("int").alias("_blk"),
     )
-    a, b = n.alias("a"), n.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a._v"), F.col("b._v"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # every row participates in B tasks: {p,q} → task p*B+q for p<=q
+    tasks = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda q: F.when(q >= F.col("_blk"), F.col("_blk") * B + q).otherwise(
+            q * B + F.col("_blk")
+        ),
     )
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            (dot / (F.col("a._norm") * F.col("b._norm"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    exploded = tagged.withColumn("_task", F.explode(tasks))
+
+    def _gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        task = int(pdf["_task"].iloc[0])
+        i, j = divmod(task, B)
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        norms[norms == 0] = 1.0
+        Vn = V / norms[:, None]
+        blk = pdf["_blk"].to_numpy()
+        if i == j:
+            G = Vn @ Vn.T
+            r, c = np.triu_indices(len(ids), k=1)
+            keep = G[r, c] >= dim_threshold
+            ida, idb, cos = ids[r[keep]], ids[c[keep]], G[r, c][keep]
+        else:
+            ma, mb = blk == i, blk == j
+            G = Vn[ma] @ Vn[mb].T
+            r, c = np.nonzero(G >= dim_threshold)
+            ida, idb, cos = ids[ma][r], ids[mb][c], G[r, c]
+        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
+
+    return exploded.groupBy("_task").applyInPandas(
+        _gemm, schema="id_a long, id_b long, cosine double"
     )

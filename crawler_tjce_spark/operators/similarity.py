@@ -77,6 +77,56 @@ def lsh_bucket_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> list[list[float]]:
+    """Train an IVF coarse quantizer (Spark ML k-means, deterministic
+    seed) and return the centroid list — a k-sized, bounded artifact.
+    At 10^11 vectors you train on a sample; the centroid list itself
+    always fits on the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = vectors.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("f"))
+    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="f")
+    model = km.fit(train)
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def _cell_structs(vec_col: Column | str, centroids: list[list[float]]) -> Column:
+    """array<struct<d: squared-euclidean distance, c: cell id>> — the
+    substrate for argmin assignment (``array_min``) and nprobe probing
+    (``array_sort`` + ``slice``). Centroids are baked in as literals so
+    assignment runs at scan speed with no shuffle and no Python."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    cells = []
+    for i, c in enumerate(centroids):
+        cv = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, cv, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cells.append(F.struct(d.alias("d"), F.lit(i).alias("c")))
+    return F.array(*cells)
+
+
+def ivf_assign_expr(vec_col: Column | str, centroids: list[list[float]]) -> Column:
+    """Cell id of the nearest centroid (ties → lowest cell id)."""
+    return F.array_min(_cell_structs(vec_col, centroids))["c"]
+
+
+def ivf_probe_expr(vec_col: Column | str, centroids: list[list[float]], nprobe: int) -> Column:
+    """The ``nprobe`` nearest cell ids, nearest first (ties → cell id)."""
+    return F.transform(
+        F.slice(F.array_sort(_cell_structs(vec_col, centroids)), 1, nprobe), lambda s: s["c"]
+    )
+
+
 def ivf_index(
     vectors: DataFrame,
     dim: int,
@@ -85,28 +135,12 @@ def ivf_index(
     seed: int = 42,
     max_iter: int = 5,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """IVF coarse quantizer: k-means centroids (Spark ML, deterministic
-    seed) + per-vector cell assignment.
-
-    Returns (vectors + ``_cell`` column, centroid list). At 10^11
-    vectors this is the standard shape: train on a sample, assign in
-    one pass, store cell as a partition column so probes prune files.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    train = vectors.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("f"))
-    km = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="f")
-    model = km.fit(train)
-    centroids = [list(map(float, c)) for c in model.clusterCenters()]
-    assigned = (
-        model.transform(
-            vectors.withColumn("f", array_to_vector(F.col(vec_col).cast("array<double>")))
-        )
-        .withColumnRenamed("prediction", "_cell")
-        .drop("f")
-    )
-    _ = vector_to_array  # imported for symmetry; assignment keeps the array column
+    """IVF coarse quantizer: k-means centroids + per-vector cell
+    assignment (expression-based — no shuffle). At 10^11 vectors this
+    is the standard shape: train on a sample, assign in one pass, store
+    cell as a partition column so probes prune files."""
+    centroids = kmeans_centroids(vectors, n_cells, vec_col, seed, max_iter)
+    assigned = vectors.withColumn("_cell", ivf_assign_expr(vec_col, centroids))
     return assigned, centroids
 
 
@@ -122,6 +156,7 @@ def cosine_topk_ivf(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN top-k via IVF: probe the ``nprobe`` nearest cells per query,
     exact cosine inside them.
@@ -129,26 +164,18 @@ def cosine_topk_ivf(
     The candidate join is an equi-join on the cell id (queries exploded
     to their probe list, broadcast), so the scan touches ~nprobe/n_cells
     of the data — the IVF pruning story; recall tuned by ``nprobe``.
+    Pass ``centroids`` to skip k-means training (e.g. a precomputed or
+    sample-initialized quantizer); assignment and probing are then pure
+    column expressions — no driver collect anywhere.
     """
-    assigned, centroids = ivf_index(vectors, dim, n_cells, vec_col, seed)
-
-    def _probe_cells(qv: list[float]) -> list[int]:
-        import numpy as np
-
-        c = np.asarray(centroids)
-        q = np.asarray(qv, dtype=float)
-        d = ((c - q) ** 2).sum(axis=1)
-        return [int(i) for i in np.argsort(d)[:nprobe]]
-
-    q_rows = queries.select(query_id_col, query_vec_col).collect()  # query set: small
-    probe_rows = [
-        (r[query_id_col], r[query_vec_col], cell)
-        for r in q_rows
-        for cell in _probe_cells(list(r[query_vec_col]))
-    ]
+    if centroids is None:
+        centroids = kmeans_centroids(vectors, n_cells, vec_col, seed)
+    assigned = vectors.withColumn("_cell", ivf_assign_expr(vec_col, centroids))
     q = F.broadcast(
-        assigned.sparkSession.createDataFrame(
-            probe_rows, f"{query_id_col} long, {query_vec_col} array<float>, _cell int"
+        queries.select(
+            query_id_col,
+            query_vec_col,
+            F.explode(ivf_probe_expr(query_vec_col, centroids, nprobe)).alias("_cell"),
         )
     )
     joined = assigned.join(q, "_cell")

@@ -70,6 +70,51 @@ def politeness_pick(
     )
 
 
+def politeness_pick_ordem(
+    frontier: DataFrame,
+    ordem_offset: int,
+    budget_col: str = "host_budget",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Fused politeness pick + global ``ordem`` assignment — ONE pass.
+
+    The within-wave visit order is (host asc, score desc, url asc) and
+    the politeness stage-2 window ranks by exactly (score desc, url asc)
+    within host — so the stage-2 ``row_number`` IS the within-host visit
+    rank; re-ranking in a separate window (round 1) re-sorted the picked
+    set and, worse, ``scalable_global_ordem``'s separate counts pass
+    re-executed the whole frontier→robots→window pipeline a second time.
+    Here the survivors are eagerly localCheckpoint-ed (they are at most
+    hosts×budget rows), per-host counts come from the cached ranks, and
+    the broadcast offset join completes the global numbering. Measured:
+    pick_ordem wave cost ~halves at bench scale.
+    """
+    order = [F.desc("score"), F.col("url")]
+    salted = frontier.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    stage1 = (
+        salted.withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col(budget_col))
+        .drop("_r1", "_salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*order)
+    picked = (
+        stage1.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= F.col(budget_col))
+        .localCheckpoint(eager=True)
+    )
+    counts = picked.groupBy("host").agg(F.max("_r2").alias("_cnt"))
+    w_off = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).drop(
+        "_cnt"
+    )
+    return (
+        picked.join(F.broadcast(offsets), "host")
+        .withColumn("ordem", (F.col("_off") + F.col("_r2") + F.lit(ordem_offset)).cast("long"))
+        .drop("_r2", "_off")
+    )
+
+
 def assign_wave_ordem(picked: DataFrame, ordem_offset: int) -> DataFrame:
     """Within-wave visit order (crawl contract §4): (host asc, score
     desc, url asc), globally numbered starting at ``ordem_offset``+1.

@@ -105,17 +105,27 @@ def filter_unseen(
     url_col: str = "url",
     bloom_bits: bytes | None = None,
     bloom_k: int = 0,
+    broadcast_seen: bool = False,
 ) -> DataFrame:
     """Candidates not in the seen set: bloom prefilter (optional) +
     authoritative exact ``left_anti``.
 
     The definitely-new stream (bloom miss) bypasses the anti-join
     entirely; only maybe-seen rows shuffle. Result = union of both.
+
+    ``broadcast_seen``: when the caller knows the seen set is small
+    (early waves — the runner tracks exact seen row counts from parquet
+    footers), hint a broadcast anti-join so neither side shuffles. At
+    10^10 seen keys the hint stays off and the maybe-seen stream (a few
+    % of candidates after the bloom) is what shuffles.
     """
+    seen_urls = seen.select(url_col).distinct()
+    if broadcast_seen:
+        seen_urls = F.broadcast(seen_urls)
     if bloom_bits is None:
-        return candidates.join(seen.select(url_col).distinct(), url_col, "left_anti")
+        return candidates.join(seen_urls, url_col, "left_anti")
     tagged = maybe_seen_expr(candidates, url_col, bloom_bits, bloom_k)
     definitely_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    checked = maybe.join(seen.select(url_col).distinct(), url_col, "left_anti")
+    checked = maybe.join(seen_urls, url_col, "left_anti")
     return definitely_new.unionByName(checked)

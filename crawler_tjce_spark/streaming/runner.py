@@ -50,8 +50,7 @@ from pyspark.sql import functions as F
 
 from crawler_tjce_spark.plans import seen as seenmod
 from crawler_tjce_spark.plans.frontier import (
-    assign_wave_ordem,
-    politeness_pick,
+    politeness_pick_ordem,
     salient_expr,
     score_expr,
 )
@@ -75,6 +74,7 @@ class CrawlRunner:
         fetch_images: bool = False,
         image_size_scale: int = 1,
         image_octaves: int = 6,
+        seen_broadcast_rows: int = 2_000_000,
     ):
         self.spark = spark
         self.world_dir = world_dir
@@ -87,6 +87,7 @@ class CrawlRunner:
         self.fetch_images = fetch_images
         self.image_size_scale = image_size_scale
         self.image_octaves = image_octaves
+        self.seen_broadcast_rows = seen_broadcast_rows
         self._bloom_bits: bytes | None = None
         self._bloom_k = 0
 
@@ -134,7 +135,9 @@ class CrawlRunner:
             inc, dtype=np.uint8
         )
         self._bloom_bits = acc.tobytes()
-        with open(self._bloom_path(wave), "wb") as f:
+        # persist under the wave this bloom will SERVE (wave+1), so resume's
+        # _init_bloom(manifest["wave"]) finds it instead of rebuilding
+        with open(self._bloom_path(wave + 1), "wb") as f:
             f.write(self._bloom_bits)
 
     # ------------------------------------------------------------------- run
@@ -172,6 +175,7 @@ class CrawlRunner:
             "ordem_offset": 0,
             "frontier_path": fpath,
             "frontier_rows": frontier_rows,
+            "seen_rows": self.seeds.select("url").distinct().count(),
             "metrics": [],
             "snapshot_id": 0,
         }
@@ -193,19 +197,22 @@ class CrawlRunner:
 
         frontier = spark.read.parquet(manifest["frontier_path"])
 
-        # 1-2. budgets + salted politeness pick
+        # 1-3. budgets + salted politeness pick + global ordem, fused into a
+        # single pass over the frontier (the stage-2 politeness rank doubles
+        # as the within-host visit rank — see politeness_pick_ordem)
         budgeted = with_robots(frontier, self.robots).withColumn("score", score_expr())
-        picked = politeness_pick(budgeted, salt_buckets=self.salt_buckets).select(
-            *FRONTIER_COLS, "score"
+        visits = (
+            politeness_pick_ordem(budgeted, manifest["ordem_offset"],
+                                  salt_buckets=self.salt_buckets)
+            .select(*FRONTIER_COLS, "score", "ordem")
+            .withColumn("wave", F.lit(wave))
+            # one eager materialization: the payload thread, the visit-log
+            # write, and the links path all fan out from these rows without
+            # re-running the windows or the offsets join
+            .localCheckpoint(eager=True)
         )
-
-        # 3. global ordem + persist visit log
-        visits = assign_wave_ordem(picked, manifest["ordem_offset"]).withColumn(
-            "wave", F.lit(wave)
-        )
-        vpath = self.store.write_wave(visits, "visits", wave)
-        picked = spark.read.parquet(vpath)
-        picked_n = self.store.count_rows(vpath)  # footer count, no job
+        picked = visits
+        picked_n = picked.count()  # served from the checkpoint, no recompute
         _step("pick_ordem")
         if picked_n == 0:  # stall guard (ref crawler/crawler.py:633-639 analog)
             manifest["frontier_rows"] = 0
@@ -216,6 +223,29 @@ class CrawlRunner:
         fetched = picked.join(self.pages, "url", "left").select(
             picked["url"], picked["depth"], picked["ordem"], "out_links", "image_refs"
         )
+
+        # 6 (overlapped). payload fetch (image plumbing) — independent of the
+        # links/seen/frontier bookkeeping below, so it runs as a concurrent
+        # Spark job from its own thread. The per-wave scheduling floor (~7 s
+        # of small-data jobs, parallelism-independent) hides under the
+        # payload stage instead of adding to it — the Amdahl term that owned
+        # the round-1 scaling number.
+        payload_thread = None
+        payload_err: list[BaseException] = []
+        if self.fetch_images:
+            import threading
+
+            def _payload_job() -> None:
+                try:
+                    self._fetch_payload(fetched, wave)
+                except BaseException as e:  # surfaced after join()
+                    payload_err.append(e)
+
+            payload_thread = threading.Thread(target=_payload_job, daemon=True)
+            payload_thread.start()
+
+        self.store.write_wave(visits, "visits", wave)
+        _step("visits_write")
 
         # 5. discovered links, first-fetcher attribution, seen-filter, robots
         links = (
@@ -229,12 +259,14 @@ class CrawlRunner:
             .agg(F.min_by("parent_depth", "parent_ordem").alias("parent_depth"))
         )
         seen = self._seen_df(wave - 1)
+        seen_rows = manifest.get("seen_rows")
         new_links = seenmod.filter_unseen(
             links,
             seen,
             "url",
             self._bloom_bits if self.use_bloom else None,
             self._bloom_k,
+            broadcast_seen=(seen_rows is not None and seen_rows <= self.seen_broadcast_rows),
         )
         discovered = with_robots(
             new_links.select(
@@ -254,14 +286,11 @@ class CrawlRunner:
         )
         dpath = self.store.write_wave(discovered, "discovered", wave)
         discovered = spark.read.parquet(dpath)
+        if manifest.get("seen_rows") is not None:
+            manifest["seen_rows"] += self.store.count_rows(dpath)  # footer, no job
         _step("links_anti_join")
         self._bloom_add(discovered, wave)
         _step("bloom_add")
-
-        # 6. payload fetch (image plumbing) — optional
-        if self.fetch_images:
-            self._fetch_payload(fetched, wave)
-            _step("payload")
 
         # 7. next frontier = old − picked + discovered∧allowed
         frontier_next = (
@@ -274,6 +303,12 @@ class CrawlRunner:
         fpath = self.store.write_full(frontier_next, "frontier", wave + 1)
         frontier_rows = self.store.count_rows(fpath)  # footer count, no job
         _step("frontier_next")
+
+        if payload_thread is not None:
+            payload_thread.join()
+            if payload_err:
+                raise payload_err[0]
+            _step("payload_tail")  # payload time NOT hidden by the other steps
 
         manifest.update(
             {
