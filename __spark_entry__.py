@@ -467,6 +467,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q37_emb_topk_lsh"] = q37_emb_topk_lsh
 
+    def q47_fetch_lineage(spark, sf):
+        # Deterministic retry/backoff bookkeeping (tenacity analog, ref
+        # crawler/crawler.py:252-254): urls derived from orders keys; the
+        # md5-probe failure model is re-computed independently by the
+        # DuckDB oracle, so attempts/status/backoff verify value-for-value.
+        from crawler_tjce_spark.plans import fetch as fetchmod
+
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey",
+            F.concat(
+                F.lit("https://h"),
+                F.pmod(F.col("o_orderkey"), F.lit(50)).cast("string"),
+                F.lit(".example/o/"),
+                F.col("o_orderkey").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("h"), F.pmod(F.col("o_orderkey"), F.lit(50)).cast("string"),
+                F.lit(".example"),
+            ).alias("host"),
+        )
+        return fetchmod.with_fetch_lineage(
+            o, fail_pct=fetchmod.host_fail_pct_expr("host", flaky_share=20, fail_pct=50)
+        ).select("o_orderkey", "fetch_attempts", "fetch_status", "backoff_total_s")
+
+    q["q47_fetch_lineage"] = q47_fetch_lineage
+
     # -- DSR wire-format decode (golden fixture; no SQL oracle — the
     # input is the reference's captured Power BI response, not a table)
     def q38_dsr_decode(spark, sf):
@@ -992,6 +1018,35 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY list_cosine_similarity(t.e, q.e) DESC, t.vec_id) AS rk
         FROM b t JOIN b q ON t.bkt = q.bkt AND q.vec_id < 3
         QUALIFY rk <= 5
+    """
+
+    # q47: independent re-computation of the deterministic retry model —
+    # same md5 probe, same tenacity backoff schedule (4, 8 s; cap 10).
+    o["q47_fetch_lineage"] = """
+        WITH u AS (
+          SELECT o_orderkey,
+                 'https://h' || (o_orderkey % 50) || '.example/o/' || o_orderkey AS url,
+                 'h' || (o_orderkey % 50) || '.example' AS host
+          FROM orders
+        ), p AS (
+          SELECT o_orderkey, url,
+                 CASE WHEN CAST('0x' || substr(md5(host), 1, 6) AS BIGINT) % 100 < 20
+                      THEN 50 ELSE 0 END AS pct
+          FROM u
+        ), f AS (
+          SELECT o_orderkey,
+                 CAST('0x' || substr(md5(url || '#1'), 1, 6) AS BIGINT) % 100 < pct AS f1,
+                 CAST('0x' || substr(md5(url || '#2'), 1, 6) AS BIGINT) % 100 < pct AS f2,
+                 CAST('0x' || substr(md5(url || '#3'), 1, 6) AS BIGINT) % 100 < pct AS f3
+          FROM p
+        )
+        SELECT o_orderkey,
+               CAST(CASE WHEN NOT f1 THEN 1 WHEN NOT f2 THEN 2 ELSE 3 END AS INTEGER)
+                 AS fetch_attempts,
+               CASE WHEN f1 AND f2 AND f3 THEN 'error' ELSE 'ok' END AS fetch_status,
+               CAST(CASE WHEN NOT f1 THEN 0 WHEN NOT f2 THEN 4 ELSE 12 END AS INTEGER)
+                 AS backoff_total_s
+        FROM f
     """
 
     # q46: full independent IVF simulation with the same sample-initialized

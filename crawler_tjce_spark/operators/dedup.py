@@ -57,9 +57,17 @@ def shingle_hashes(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
     The shared substrate for MinHash signatures, exact Jaccard verify,
     and prefix-filtered similarity joins — compute (and cache) it once;
     every downstream shuffle then moves (id, long) rows only.
+
+    The tokenize→slice→explode stage is expansion-heavy (small doc rows
+    in, many shingle rows out), so like every such stage in this engine
+    it pins its parallelism with a round-robin ``repartition`` — a
+    single-file input otherwise runs the whole tokenization in 1-2 scan
+    tasks (measured ~7 s single-threaded at sf0.1 vs spread across cores).
     """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     return (
-        df.select(
+        df.repartition(n_parts)
+        .select(
             F.col(id_col),
             F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("_s"),
         )

@@ -1,0 +1,118 @@
+"""Fetch-attempt / backoff lineage columns.
+
+The reference wraps every HTTP fetch in a tenacity retry policy —
+3 attempts, exponential backoff 4–10 s (``crawler/crawler.py:252-254``)
+— and SURVEY §4 promises the same bookkeeping in the lineage table.
+Here the retry outcome is *deterministic* and computed as pure column
+expressions (JVM-side, vectorized — no Python in the hot path):
+
+* attempt ``i`` on ``url`` fails iff ``md5_probe(url || '#i') <
+  fail_pct(host)`` where ``md5_probe(x)`` = the first 24 bits of
+  ``md5(x)`` mod 100 — md5 because all three engines in play compute the
+  identical value (Spark ``md5``, Python ``hashlib.md5`` for the
+  sequential simulator, DuckDB ``md5`` for the driver's SQL oracle), so
+  the per-URL attempt history is verifiable end-to-end;
+* ``fail_pct(host)``: a deterministic share of hosts is flaky
+  (``crc32(host) % 100 < flaky_share``), the rest never fail — the
+  sandbox stand-in for real per-host reliability. A real deployment
+  feeds observed failure rates in through the same column.
+* backoff before retry ``r`` = ``min(mult · 2^(r-1), max_s)`` — the
+  tenacity ``wait_exponential(multiplier=4, max=10)`` schedule.
+
+Columns added: ``fetch_attempts`` (1..max), ``fetch_status``
+(``ok``/``error``), ``backoff_total_s``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MAX_ATTEMPTS = 3
+BACKOFF_MULT_S = 4
+BACKOFF_MAX_S = 10
+
+
+def backoff_schedule(max_attempts: int = MAX_ATTEMPTS) -> list[int]:
+    """Seconds waited before retry r (1-indexed; r=1 is the wait after
+    the first failure)."""
+    return [min(BACKOFF_MULT_S * 2 ** (r - 1), BACKOFF_MAX_S) for r in range(1, max_attempts)]
+
+
+def md5_probe_expr(col: Column) -> Column:
+    """First 24 bits of md5 as an int, mod 100 — cross-engine stable
+    (Spark / DuckDB / Python compute the identical value)."""
+    return F.pmod(F.conv(F.substring(F.md5(col), 1, 6), 16, 10).cast("long"), F.lit(100))
+
+
+def md5_probe(s: str) -> int:
+    """Python twin of :func:`md5_probe_expr` (for refsim)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:6], 16) % 100
+
+
+def host_fail_pct_expr(host_col: Column | str, flaky_share: int = 10, fail_pct: int = 40) -> Column:
+    """Deterministic per-host failure percentage: ``flaky_share``% of
+    hosts fail ``fail_pct``% of attempts, the rest never fail."""
+    h = F.col(host_col) if isinstance(host_col, str) else host_col
+    return F.when(md5_probe_expr(h) < F.lit(flaky_share), F.lit(fail_pct)).otherwise(F.lit(0))
+
+
+def _attempt_fails(url_col: Column, attempt: int, fail_pct: Column) -> Column:
+    return md5_probe_expr(F.concat(url_col, F.lit(f"#{attempt}"))) < fail_pct
+
+
+def with_fetch_lineage(
+    df: DataFrame,
+    url_col: str = "url",
+    fail_pct: Column | None = None,
+    max_attempts: int = MAX_ATTEMPTS,
+) -> DataFrame:
+    """Attach deterministic retry lineage columns to a fetch frame."""
+    u = F.col(url_col)
+    pct = fail_pct if fail_pct is not None else F.lit(0)
+    fails = [_attempt_fails(u, i, pct) for i in range(1, max_attempts + 1)]
+
+    attempts: Column = F.lit(max_attempts)
+    for i in range(max_attempts - 1, 0, -1):
+        attempts = F.when(~fails[i - 1], F.lit(i)).otherwise(attempts)
+
+    ok = fails[0]
+    for fc in fails[1:]:
+        ok = ok & fc
+    status = F.when(ok, F.lit("error")).otherwise(F.lit("ok"))  # ok = NOT all-failed
+
+    waits = backoff_schedule(max_attempts)
+    cum = [0]
+    for w in waits:
+        cum.append(cum[-1] + w)
+    backoff: Column = F.lit(cum[max_attempts - 1])  # exhausted all retries
+    for i in range(max_attempts - 1, 0, -1):
+        backoff = F.when(attempts == i, F.lit(cum[i - 1])).otherwise(backoff)
+    # a row that errors out waited through every retry regardless of the
+    # (meaningless) attempts value short-circuit above
+    backoff = F.when(status == "error", F.lit(cum[max_attempts - 1])).otherwise(backoff)
+
+    return (
+        df.withColumn("fetch_attempts", attempts.cast("int"))
+        .withColumn("fetch_status", status)
+        .withColumn("backoff_total_s", backoff.cast("int"))
+    )
+
+
+def simulate_fetch(url: str, host_fail_pct: int, max_attempts: int = MAX_ATTEMPTS):
+    """Sequential replica of the column expressions (for refsim parity):
+    returns (attempts, status, backoff_total_s)."""
+
+    def fail(i: int) -> bool:
+        return md5_probe(f"{url}#{i}") < host_fail_pct
+
+    waits = backoff_schedule(max_attempts)
+    total = 0
+    for i in range(1, max_attempts + 1):
+        if not fail(i):
+            return i, "ok", total
+        if i < max_attempts:
+            total += waits[i - 1]
+    return max_attempts, "error", total

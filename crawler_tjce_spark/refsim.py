@@ -62,10 +62,30 @@ class CrawlResult:
     visits: list[tuple[int, str, int, str]] = field(default_factory=list)  # (ordem, url, wave, host)
     seen: set[str] = field(default_factory=set)
     waves: int = 0
+    # url -> (attempts, status, backoff_total_s); populated when the flaky
+    # fetch model is on (plans/fetch.py is the distributed twin)
+    fetch_lineage: dict[str, tuple[int, str, int]] = field(default_factory=dict)
 
 
-def simulate(world_dir: str, max_waves: int = 50) -> CrawlResult:
-    """Run the reference-semantics crawl over a datagen world dir."""
+def simulate(
+    world_dir: str,
+    max_waves: int = 50,
+    flaky_fetch: bool = False,
+    flaky_share: int = 10,
+    flaky_fail_pct: int = 40,
+) -> CrawlResult:
+    """Run the reference-semantics crawl over a datagen world dir.
+
+    With ``flaky_fetch``, each visit replays the deterministic retry model
+    (tenacity analog — see ``plans/fetch.py``); a visit whose retries
+    exhaust is still ordered/seen but expands no links.
+    """
+    from crawler_tjce_spark.plans.fetch import md5_probe, simulate_fetch
+
+    def host_pct(host: str) -> int:
+        if not flaky_fetch:
+            return 0
+        return flaky_fail_pct if md5_probe(host) < flaky_share else 0
     pages_t = pq.read_table(f"{world_dir}/pages.parquet")
     robots_t = pq.read_table(f"{world_dir}/robots.parquet")
     seeds_t = pq.read_table(f"{world_dir}/seeds.parquet")
@@ -121,6 +141,10 @@ def simulate(world_dir: str, max_waves: int = 50) -> CrawlResult:
             ordem += 1
             res.visits.append((ordem, url, wave, h))
             del frontier[url]
+            attempts, status, backoff = simulate_fetch(url, host_pct(h))
+            res.fetch_lineage[url] = (attempts, status, backoff)
+            if status == "error":
+                continue  # retries exhausted: visited but nothing fetched
             for link in pages.get(url, []):
                 if link in res.seen:
                     continue

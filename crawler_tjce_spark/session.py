@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
+        # FAIR scheduling: the crawl runner overlaps the big payload-fetch
+        # job with small bookkeeping jobs (links/seen/frontier) from a
+        # second thread; under FIFO the small jobs queue behind the payload
+        # job's task set and the overlap is lost. Single-job workloads are
+        # unaffected.
+        .config("spark.scheduler.mode", "FAIR")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -210,7 +210,8 @@ def decode_page(
     payload: dict,
     fields: list[tuple[str, str, str]] = PRECATORIO_FIELDS,
     positional_fields: list[tuple[str, str]] | None = None,
-) -> list[dict]:
+    collect_rejects: bool = False,
+) -> list[dict] | tuple[list[dict], list[dict]]:
     """Decode one DSR response page into typed row dicts.
 
     Works column-wise: maintains the current raw value per wire column,
@@ -218,6 +219,16 @@ def decode_page(
     formats each bound column once per row. Column→field binding is by
     descriptor name (precatórios style, ``fields`` triples) or by wire
     position (editais/pagamentos style, ``positional_fields`` pairs).
+
+    With ``collect_rejects`` the return becomes ``(rows, rejects)`` and
+    rows that fail validation are QUARANTINED instead of emitted — the
+    analog of the reference's Pydantic rejection path
+    (``crawler/crawler.py:1074-1081``: a row that fails model validation
+    is logged and skipped, never silently defaulted). Reject reasons:
+    ``dict_oob:<col>`` (dictionary index out of range — the raw value
+    inherits the previous row, matching the reference's delta fallback),
+    ``bad_number:<field>`` (non-empty unparseable numeric wire value),
+    ``bad_date:<field>`` (non-null unparseable date wire value).
     """
     data = payload["results"][0]["result"]["data"]
     selects = data.get("descriptor", {}).get("Select", [])
@@ -225,7 +236,7 @@ def decode_page(
     value_dicts: dict[str, list] = ds.get("ValueDicts", {})
     dm0 = ds.get("PH", [{}])[0].get("DM0", [])
     if not dm0 or dm0 == [{}]:
-        return []  # subtotal/empty page artifact
+        return ([], []) if collect_rejects else []  # subtotal/empty page artifact
 
     binding: dict[int, tuple[str, str]] = {}
     if positional_fields is not None:
@@ -241,6 +252,7 @@ def decode_page(
     ncols = len(schema)
     raw: list[Any] = [None] * ncols  # resolved (post-dict) raw values
     rows: list[dict] = []
+    rejects: list[dict] = []
 
     for row_idx, item in enumerate(dm0):
         c = item.get("C", [])
@@ -248,6 +260,7 @@ def decode_page(
         if row_idx > 0 and mask is None:
             mask = (1 << ncols) - 1  # no R ⇒ inherit everything
         ci = 0
+        reasons: list[str] = []
         for col in range(ncols):
             if row_idx > 0 and (mask >> col) & 1:
                 continue  # inherit previous value
@@ -258,14 +271,35 @@ def decode_page(
             dn = schema[col].get("DN")
             if dn and isinstance(wire, int) and not isinstance(wire, bool):
                 vd = value_dicts.get(dn, [])
-                raw[col] = vd[wire] if 0 <= wire < len(vd) else None
+                if 0 <= wire < len(vd):
+                    raw[col] = vd[wire]
+                else:
+                    # dict index out of range: INHERIT the previous row's
+                    # value (the reference's delta-decode fallback keeps
+                    # the running value rather than nulling the column)
+                    reasons.append(f"dict_oob:{col}")
             else:
                 raw[col] = wire  # direct value (strings bypass the dict)
         out = {}
         for col, (csv_f, typ) in binding.items():
-            out[csv_f] = coerce(raw[col], typ)
+            v = raw[col]
+            if collect_rejects:
+                if typ in ("int", "float", "Decimal") and isinstance(v, str):
+                    s = v.replace("R$", "").strip()
+                    if s and s.lower() != "none" and parse_number(v) == 0.0 and not re.search(
+                        r"^[\s0.,]*$", s
+                    ):
+                        reasons.append(f"bad_number:{csv_f}")
+                if typ == "date" and v is not None and parse_date(v) is None:
+                    reasons.append(f"bad_date:{csv_f}")
+            out[csv_f] = coerce(v, typ)
         out["row_idx"] = row_idx
-        rows.append(out)
+        if collect_rejects and reasons:
+            rejects.append({"row_idx": row_idx, "reason": ";".join(sorted(set(reasons)))})
+        else:
+            rows.append(out)
+    if collect_rejects:
+        return rows, rejects
     return rows
 
 
@@ -317,6 +351,55 @@ def decode_pages_df(
         return pd.DataFrame(all_rows, columns=cols)
 
     return pages.groupBy("page_id").applyInPandas(_decode, schema=schema)
+
+
+def decode_pages_quarantine_df(
+    spark: SparkSession, pages: DataFrame, table: str = "precatorio"
+) -> DataFrame:
+    """Distributed decode WITH the invalid-row quarantine (SURVEY §2.2 P6;
+    ref ``crawler/crawler.py:1074-1081``): one extra ``reject_reason``
+    column — NULL for valid rows, the rejection reason for quarantined
+    rows (whose data columns are NULL). Split with::
+
+        good = out.filter(out.reject_reason.isNull()).drop("reject_reason")
+        quarantine = out.filter(out.reject_reason.isNotNull()) \\
+                        .select("page_id", "row_idx", "reject_reason")
+
+    One decode pass serves both streams; at 100 TB the quarantine side is
+    written to its own table partition for audit/replay.
+    """
+    import pandas as pd
+
+    fields, positional, schema = TABLES[table]
+    cols = ["page_id", "row_idx"] + (
+        [f for f, _, _ in fields] if fields else [f for f, _ in positional]
+    )
+    out_schema = schema + ", reject_reason string"
+    out_cols = cols + ["reject_reason"]
+
+    def _decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        all_rows = []
+        for pid, payload in zip(pdf["page_id"], pdf["payload"]):
+            rows, rejects = decode_page(
+                json.loads(payload), fields or PRECATORIO_FIELDS, positional,
+                collect_rejects=True,
+            )
+            for row in rows:
+                row["page_id"] = int(pid)
+                row["reject_reason"] = None
+                all_rows.append(row)
+            for rej in rejects:
+                all_rows.append(
+                    {"page_id": int(pid), "row_idx": rej["row_idx"],
+                     "reject_reason": rej["reason"]}
+                )
+        # object dtype: quarantined rows have missing data columns and a
+        # float-NaN there would fail Arrow's safe cast to long — keep
+        # explicit Nones instead
+        df = pd.DataFrame(all_rows, columns=out_cols, dtype=object)
+        return df.where(pd.notnull(df), None)
+
+    return pages.groupBy("page_id").applyInPandas(_decode, schema=out_schema)
 
 
 # ---------------------------------------------------------------------------

@@ -48,6 +48,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crawler_tjce_spark.plans import fetch as fetchmod
 from crawler_tjce_spark.plans import seen as seenmod
 from crawler_tjce_spark.plans.frontier import (
     politeness_pick_ordem,
@@ -75,6 +76,9 @@ class CrawlRunner:
         image_size_scale: int = 1,
         image_octaves: int = 6,
         seen_broadcast_rows: int = 2_000_000,
+        flaky_fetch: bool = False,
+        flaky_share: int = 10,
+        flaky_fail_pct: int = 40,
     ):
         self.spark = spark
         self.world_dir = world_dir
@@ -88,6 +92,9 @@ class CrawlRunner:
         self.image_size_scale = image_size_scale
         self.image_octaves = image_octaves
         self.seen_broadcast_rows = seen_broadcast_rows
+        self.flaky_fetch = flaky_fetch
+        self.flaky_share = flaky_share
+        self.flaky_fail_pct = flaky_fail_pct
         self._bloom_bits: bytes | None = None
         self._bloom_k = 0
 
@@ -202,9 +209,19 @@ class CrawlRunner:
         # as the within-host visit rank — see politeness_pick_ordem)
         budgeted = with_robots(frontier, self.robots).withColumn("score", score_expr())
         visits = (
-            politeness_pick_ordem(budgeted, manifest["ordem_offset"],
-                                  salt_buckets=self.salt_buckets)
-            .select(*FRONTIER_COLS, "score", "ordem")
+            fetchmod.with_fetch_lineage(
+                politeness_pick_ordem(budgeted, manifest["ordem_offset"],
+                                      salt_buckets=self.salt_buckets),
+                fail_pct=(
+                    fetchmod.host_fail_pct_expr(
+                        "host", self.flaky_share, self.flaky_fail_pct
+                    )
+                    if self.flaky_fetch
+                    else None
+                ),
+            )
+            .select(*FRONTIER_COLS, "score", "ordem",
+                    "fetch_attempts", "fetch_status", "backoff_total_s")
             .withColumn("wave", F.lit(wave))
             # one eager materialization: the payload thread, the visit-log
             # write, and the links path all fan out from these rows without
@@ -219,9 +236,13 @@ class CrawlRunner:
             self.store.commit(manifest)
             return manifest
 
-        # 4. fetch = join against the web; keep parent lineage for depth
-        fetched = picked.join(self.pages, "url", "left").select(
-            picked["url"], picked["depth"], picked["ordem"], "out_links", "image_refs"
+        # 4. fetch = join against the web; keep parent lineage for depth.
+        # URLs whose retries exhausted (fetch_status='error') were visited
+        # (they consumed schedule slots and carry ordem + retry lineage) but
+        # yield no links and no payload — the reference's failed-fetch path.
+        ok = picked.filter(F.col("fetch_status") == "ok")
+        fetched = ok.join(self.pages, "url", "left").select(
+            ok["url"], ok["depth"], ok["ordem"], "out_links", "image_refs"
         )
 
         # 6 (overlapped). payload fetch (image plumbing) — independent of the
@@ -292,6 +313,37 @@ class CrawlRunner:
         self._bloom_add(discovered, wave)
         _step("bloom_add")
 
+        # per-host metrics (reference metrics.py:6-27 analog: requests_total,
+        # records_processed, errors_total{type} — here per host per wave, as
+        # a queryable parquet table instead of a Prometheus endpoint)
+        met = picked.groupBy("host").agg(
+            F.count(F.lit(1)).alias("requests_total"),
+            F.sum("fetch_attempts").alias("fetch_attempts_total"),
+            F.count_if(F.col("fetch_status") == "error").alias("errors_fetch_total"),
+            F.sum("backoff_total_s").alias("retry_backoff_s_total"),
+        )
+        links_m = discovered.groupBy("host").agg(
+            F.count(F.lit(1)).alias("links_discovered_total")
+        )
+        metrics_df = (
+            met.join(links_m, "host", "full").na.fill(0).withColumn("wave", F.lit(wave))
+        )
+        self.store.write_wave(metrics_df, "metrics", wave)
+        totals_row = (
+            self.store.read_all_waves(spark, "metrics")
+            .filter(F.col("wave") == wave)
+            .agg(
+                F.sum("requests_total").alias("requests_total"),
+                F.sum("fetch_attempts_total").alias("fetch_attempts_total"),
+                F.sum("errors_fetch_total").alias("errors_fetch_total"),
+                F.sum("retry_backoff_s_total").alias("retry_backoff_s_total"),
+                F.sum("links_discovered_total").alias("links_discovered_total"),
+            )
+            .collect()[0]
+        )
+        counters = {k: int(v) for k, v in totals_row.asDict().items()}
+        _step("metrics")
+
         # 7. next frontier = old − picked + discovered∧allowed
         frontier_next = (
             frontier.join(picked.select("url"), "url", "left_anti")
@@ -323,6 +375,7 @@ class CrawlRunner:
                 "wave": wave,
                 "picked": picked_n,
                 "frontier_next": frontier_rows,
+                "counters": counters,
                 "elapsed_sec": round(time.time() - t0, 3),
                 "steps": steps,
             }
