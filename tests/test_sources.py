@@ -35,7 +35,7 @@ def test_entity_mapping(spark, tmp_path):
     assert b"municipio-de-fortaleza" in data
 
 
-def test_ipfs_sink_stub(tmp_path):
+def test_ipfs_sink_content_addressed(tmp_path):
     f = tmp_path / "artifact.csv"
     f.write_bytes(b"ordem,processo\n1,x\n")
     uri1 = ipfs.artifact_uri(str(f))
@@ -43,8 +43,24 @@ def test_ipfs_sink_stub(tmp_path):
     assert uri1 == uri2 and uri1.endswith("/artifact.csv")
     f.write_bytes(b"different")
     assert ipfs.artifact_uri(str(f)) != uri1  # content-addressed
-    with pytest.raises(NotImplementedError):
-        ipfs.upload(str(f))
+
+
+def test_ipfs_upload_pins_idempotently(tmp_path):
+    store = ipfs.LocalCAS(str(tmp_path / "cas"))
+    f = tmp_path / "artifact.csv"
+    f.write_bytes(b"ordem,processo\n1,x\n")
+    r1 = ipfs.upload(str(f), store=store)
+    assert not r1["already_pinned"]
+    assert open(r1["pinned_path"], "rb").read() == f.read_bytes()
+    assert r1["cid"] in r1["pinned_path"] and r1["cid"] in r1["uri"]
+    # re-pin of identical bytes: IPFS semantics, a no-op
+    r2 = ipfs.upload(str(f), store=store)
+    assert r2["already_pinned"] and r2["pinned_path"] == r1["pinned_path"]
+    # changed bytes pin under a new cid; the old pin survives
+    f.write_bytes(b"changed")
+    r3 = ipfs.upload(str(f), store=store)
+    assert r3["cid"] != r1["cid"] and not r3["already_pinned"]
+    assert open(r1["pinned_path"], "rb").read() == b"ordem,processo\n1,x\n"
 
 
 def test_csv_sink_ptbr(spark, tmp_path):
