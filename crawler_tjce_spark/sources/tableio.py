@@ -11,7 +11,13 @@ time-travel to the last committed state — as:
 * commit = write ``_manifest.json.tmp`` then ``os.replace`` (atomic on
   POSIX) — a crashed run resumes from the last manifest, and
   half-written wave directories that never made it into a manifest are
-  simply invisible (idempotent re-run overwrites them).
+  simply invisible (idempotent re-run overwrites them);
+* every commit is also appended to ``root/_snapshots/<id>.json`` — the
+  snapshot log behind Iceberg's two signature reads: ``time_travel``
+  (table contents AS OF a snapshot id) and ``rollback`` (atomically
+  repoint the current manifest at an older snapshot; later wave dirs
+  become invisible and are overwritten by the re-run — Iceberg's
+  rollback-then-recommit semantics).
 
 A real Iceberg catalog drops in by replacing this class; the runner
 only uses ``read``/``write_wave``/``commit``/``load_manifest``.
@@ -47,13 +53,60 @@ class SnapshotStore:
             return json.load(f)
 
     def commit(self, manifest: dict[str, Any]) -> None:
-        manifest = dict(manifest)
+        # bump in place: the caller's loop state carries the id forward so
+        # successive commits advance the snapshot log (not overwrite id 1)
         manifest["snapshot_id"] = manifest.get("snapshot_id", 0) + 1
         manifest["committed_at"] = time.time()
+        manifest = dict(manifest)
         tmp = self.manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
         os.replace(tmp, self.manifest_path)  # atomic pointer swap
+        # snapshot log (Iceberg metadata history): enables time_travel/rollback
+        snapdir = os.path.join(self.root, "_snapshots")
+        os.makedirs(snapdir, exist_ok=True)
+        snap_tmp = os.path.join(snapdir, f"{manifest['snapshot_id']}.json.tmp")
+        with open(snap_tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(snap_tmp, os.path.join(snapdir, f"{manifest['snapshot_id']}.json"))
+
+    def snapshots(self) -> list[dict[str, Any]]:
+        """Committed snapshot manifests, oldest first."""
+        snapdir = os.path.join(self.root, "_snapshots")
+        if not os.path.isdir(snapdir):
+            return []
+        out = []
+        for fn in sorted(os.listdir(snapdir)):
+            if fn.endswith(".json"):
+                with open(os.path.join(snapdir, fn)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda m: m["snapshot_id"])
+
+    def snapshot(self, snapshot_id: int) -> dict[str, Any]:
+        p = os.path.join(self.root, "_snapshots", f"{snapshot_id}.json")
+        with open(p) as f:
+            return json.load(f)
+
+    def time_travel(self, spark: SparkSession, table: str, snapshot_id: int) -> DataFrame:
+        """Wave-table contents AS OF a snapshot: all rows whose wave was
+        committed by that snapshot (Iceberg ``VERSION AS OF``). For the
+        full-state ``frontier`` table, read ``snapshot()['frontier_path']``
+        directly instead."""
+        from pyspark.sql import functions as F
+
+        m = self.snapshot(snapshot_id)
+        return self.read_all_waves(spark, table).filter(F.col("wave") < m["wave"])
+
+    def rollback(self, snapshot_id: int) -> dict[str, Any]:
+        """Atomically repoint the current state at an older snapshot.
+        Later wave directories become invisible (not referenced) and are
+        overwritten deterministically when the run resumes."""
+        m = self.snapshot(snapshot_id)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self.manifest_path)
+        return m
 
     # -- data --------------------------------------------------------------
     def table_dir(self, table: str, wave: int | None = None) -> str:

@@ -121,6 +121,34 @@ def test_bloom_sidecar_served_on_resume(spark, world, tmp_path):
     assert r2._bloom_bits == r1._bloom_bits  # loaded, byte-identical
 
 
+# ------------------------------------------------------- snapshot time travel
+
+def test_snapshot_time_travel_and_rollback(spark, world, tmp_path):
+    """Iceberg-contract reads on the snapshot store: VERSION AS OF
+    reproduces the table as of an earlier commit; rollback + resume
+    re-converges to the identical final state."""
+    ref = refsim.simulate(world, max_waves=30)
+    store = str(tmp_path / "store_tt")
+    runner = CrawlRunner(spark, world, store, max_waves=30, bloom_expected=10_000)
+    m = runner.run(resume=False)
+    snaps = runner.store.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == sorted(s["snapshot_id"] for s in snaps)
+    assert snaps[-1]["wave"] == m["wave"]
+    # time-travel to the third commit == visits of the first waves only
+    mid = snaps[2]
+    tt = runner.store.time_travel(spark, "visits", mid["snapshot_id"])
+    expect = [(o, u) for o, u, w, _ in ref.visits if w < mid["wave"]]
+    got = sorted((r["ordem"], r["url"]) for r in tt.select("ordem", "url").collect())
+    assert got == expect and 0 < len(got) < len(ref.visits)
+    # rollback to mid, resume → identical final visits and seen set
+    runner.store.rollback(mid["snapshot_id"])
+    r2 = CrawlRunner(spark, world, store, max_waves=30, bloom_expected=10_000)
+    r2.run(resume=True)
+    final = sorted((r["ordem"], r["url"]) for r in r2.visits_df().select("ordem", "url").collect())
+    assert final == [(o, u) for o, u, _, _ in ref.visits]
+    assert {r["url"] for r in r2.seen_final_df().collect()} == ref.seen
+
+
 # ---------------------------------------------------------------- quarantine
 
 def _page(schema, rows, value_dicts=None):
