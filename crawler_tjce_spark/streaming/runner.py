@@ -310,51 +310,88 @@ class CrawlRunner:
         if manifest.get("seen_rows") is not None:
             manifest["seen_rows"] += self.store.count_rows(dpath)  # footer, no job
         _step("links_anti_join")
-        self._bloom_add(discovered, wave)
-        _step("bloom_add")
 
-        # per-host metrics (reference metrics.py:6-27 analog: requests_total,
-        # records_processed, errors_total{type} — here per host per wave, as
-        # a queryable parquet table instead of a Prometheus endpoint)
-        met = picked.groupBy("host").agg(
-            F.count(F.lit(1)).alias("requests_total"),
-            F.sum("fetch_attempts").alias("fetch_attempts_total"),
-            F.count_if(F.col("fetch_status") == "error").alias("errors_fetch_total"),
-            F.sum("backoff_total_s").alias("retry_backoff_s_total"),
-        )
-        links_m = discovered.groupBy("host").agg(
-            F.count(F.lit(1)).alias("links_discovered_total")
-        )
-        metrics_df = (
-            met.join(links_m, "host", "full").na.fill(0).withColumn("wave", F.lit(wave))
-        )
-        self.store.write_wave(metrics_df, "metrics", wave)
-        totals_row = (
-            self.store.read_all_waves(spark, "metrics")
-            .filter(F.col("wave") == wave)
-            .agg(
-                F.sum("requests_total").alias("requests_total"),
-                F.sum("fetch_attempts_total").alias("fetch_attempts_total"),
-                F.sum("errors_fetch_total").alias("errors_fetch_total"),
-                F.sum("retry_backoff_s_total").alias("retry_backoff_s_total"),
-                F.sum("links_discovered_total").alias("links_discovered_total"),
-            )
-            .collect()[0]
-        )
-        counters = {k: int(v) for k, v in totals_row.asDict().items()}
-        _step("metrics")
+        # Everything below depends only on the just-committed discovered
+        # partition (+ the picked checkpoint) and NOT on each other — run
+        # the three jobs concurrently (FAIR scheduler): bloom build,
+        # per-host metrics, next-frontier write. With the payload job also
+        # in flight this collapses the wave's serial tail to one job's
+        # latency instead of three.
+        import threading
 
-        # 7. next frontier = old − picked + discovered∧allowed
-        frontier_next = (
-            frontier.join(picked.select("url"), "url", "left_anti")
-            .select(*FRONTIER_COLS)
-            .unionByName(
-                discovered.filter(F.col("robots_ok")).select(*FRONTIER_COLS)
-            )
-        )
-        fpath = self.store.write_full(frontier_next, "frontier", wave + 1)
-        frontier_rows = self.store.count_rows(fpath)  # footer count, no job
-        _step("frontier_next")
+        side_err: list[BaseException] = []
+        counters: dict[str, int] = {}
+        frontier_out: dict[str, object] = {}
+
+        def _bloom_job() -> None:
+            try:
+                self._bloom_add(discovered, wave)
+            except BaseException as e:
+                side_err.append(e)
+
+        def _metrics_job() -> None:
+            # per-host metrics (reference metrics.py:6-27 analog:
+            # requests_total, records_processed, errors_total{type} — here
+            # per host per wave, as a queryable parquet table instead of a
+            # Prometheus endpoint)
+            try:
+                met = picked.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("requests_total"),
+                    F.sum("fetch_attempts").alias("fetch_attempts_total"),
+                    F.count_if(F.col("fetch_status") == "error").alias("errors_fetch_total"),
+                    F.sum("backoff_total_s").alias("retry_backoff_s_total"),
+                )
+                links_m = discovered.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("links_discovered_total")
+                )
+                metrics_df = (
+                    met.join(links_m, "host", "full")
+                    .na.fill(0)
+                    .withColumn("wave", F.lit(wave))
+                    .localCheckpoint(eager=True)  # one compute, two consumers
+                )
+                self.store.write_wave(metrics_df, "metrics", wave)
+                totals_row = metrics_df.agg(
+                    F.sum("requests_total").alias("requests_total"),
+                    F.sum("fetch_attempts_total").alias("fetch_attempts_total"),
+                    F.sum("errors_fetch_total").alias("errors_fetch_total"),
+                    F.sum("retry_backoff_s_total").alias("retry_backoff_s_total"),
+                    F.sum("links_discovered_total").alias("links_discovered_total"),
+                ).collect()[0]
+                counters.update({k: int(v) for k, v in totals_row.asDict().items()})
+            except BaseException as e:
+                side_err.append(e)
+
+        def _frontier_job() -> None:
+            # 7. next frontier = old − picked + discovered∧allowed
+            try:
+                frontier_next = (
+                    frontier.join(picked.select("url"), "url", "left_anti")
+                    .select(*FRONTIER_COLS)
+                    .unionByName(
+                        discovered.filter(F.col("robots_ok")).select(*FRONTIER_COLS)
+                    )
+                )
+                frontier_out["path"] = self.store.write_full(
+                    frontier_next, "frontier", wave + 1
+                )
+                frontier_out["rows"] = self.store.count_rows(frontier_out["path"])
+            except BaseException as e:
+                side_err.append(e)
+
+        side = [
+            threading.Thread(target=t, daemon=True)
+            for t in (_bloom_job, _metrics_job, _frontier_job)
+        ]
+        for t in side:
+            t.start()
+        for t in side:
+            t.join()
+        if side_err:
+            raise side_err[0]
+        fpath = str(frontier_out["path"])
+        frontier_rows = int(frontier_out["rows"])  # footer count, no job
+        _step("side_jobs")
 
         if payload_thread is not None:
             payload_thread.join()
