@@ -97,6 +97,22 @@ class SnapshotStore:
         m = self.snapshot(snapshot_id)
         return self.read_all_waves(spark, table).filter(F.col("wave") < m["wave"])
 
+    def expire_snapshots(self, keep_last: int = 10) -> list[int]:
+        """Iceberg ``expire_snapshots`` analog: drop all but the newest
+        ``keep_last`` entries from the snapshot log (metadata only — wave
+        data referenced by the current manifest is never touched).
+        Returns the expired ids."""
+        snaps = self.snapshots()
+        expired = []
+        for m in snaps[:-keep_last] if keep_last > 0 else snaps:
+            sid = m["snapshot_id"]
+            try:
+                os.remove(os.path.join(self.root, "_snapshots", f"{sid}.json"))
+                expired.append(sid)
+            except FileNotFoundError:
+                pass
+        return expired
+
     def rollback(self, snapshot_id: int) -> dict[str, Any]:
         """Atomically repoint the current state at an older snapshot.
         Later wave directories become invisible (not referenced) and are

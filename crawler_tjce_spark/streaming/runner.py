@@ -397,6 +397,11 @@ class CrawlRunner:
             payload_thread.join()
             if payload_err:
                 raise payload_err[0]
+            # records_processed (ref metrics.py counter): payload rows this
+            # wave, from parquet footers — no job
+            counters["records_processed"] = self.store.count_rows(
+                self.store.table_dir("payload", wave)
+            )
             _step("payload_tail")  # payload time NOT hidden by the other steps
 
         manifest.update(

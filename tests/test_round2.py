@@ -149,6 +149,20 @@ def test_snapshot_time_travel_and_rollback(spark, world, tmp_path):
     assert {r["url"] for r in r2.seen_final_df().collect()} == ref.seen
 
 
+def test_records_processed_counter_and_expire(spark, world, tmp_path):
+    store = str(tmp_path / "store_records")
+    runner = CrawlRunner(spark, world, store, max_waves=3, fetch_images=True,
+                         bloom_expected=10_000)
+    m = runner.run(resume=False)
+    total = sum(w["counters"].get("records_processed", 0) for w in m["metrics"])
+    assert total == runner.store.read_all_waves(spark, "payload").count() > 0
+    # expire_snapshots keeps the newest K log entries, current state intact
+    expired = runner.store.expire_snapshots(keep_last=2)
+    remaining = [s["snapshot_id"] for s in runner.store.snapshots()]
+    assert len(remaining) == 2 and all(e < min(remaining) for e in expired)
+    assert runner.store.load_manifest()["snapshot_id"] == max(remaining)
+
+
 # ---------------------------------------------------------------- quarantine
 
 def _page(schema, rows, value_dicts=None):
