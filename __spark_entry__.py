@@ -493,6 +493,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q47_fetch_lineage"] = q47_fetch_lineage
 
+    def q48_api_filters(spark, sf):
+        # Reference API query semantics (main.py:698-739 apply_filters +
+        # sort_rows) as the declarative plan layer in crawler_tjce_spark.api,
+        # over a precatórios-shaped projection of orders.
+        from crawler_tjce_spark import api
+
+        o = _t(spark, sf, "orders").select(
+            F.col("o_orderkey").alias("ordem"),
+            F.year("o_orderdate").cast("long").alias("ano_orcamento"),
+            F.col("o_totalprice").alias("valor_atual"),
+            F.col("o_orderpriority").alias("natureza"),
+        )
+        out = api.apply_filters(
+            o, ano_min=1994, ano_max=1996, valor_min=120000.0, natureza="2-high"
+        )
+        return api.sort_rows(out, "valor_atual", "desc").select(
+            "ordem", "ano_orcamento", F.round("valor_atual", 2).alias("valor_atual")
+        )
+
+    q["q48_api_filters"] = q48_api_filters
+
     # -- DSR wire-format decode (golden fixture; no SQL oracle — the
     # input is the reference's captured Power BI response, not a table)
     def q38_dsr_decode(spark, sf):
@@ -1047,6 +1068,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN NOT f1 THEN 0 WHEN NOT f2 THEN 4 ELSE 12 END AS INTEGER)
                  AS backoff_total_s
         FROM f
+    """
+
+    o["q48_api_filters"] = """
+        SELECT o_orderkey AS ordem,
+               CAST(year(o_orderdate) AS BIGINT) AS ano_orcamento,
+               round(o_totalprice, 2) AS valor_atual
+        FROM orders
+        WHERE year(o_orderdate) >= 1994 AND year(o_orderdate) <= 1996
+          AND o_totalprice >= 120000.0
+          AND lower(o_orderpriority) = lower('2-high')
     """
 
     # q46: full independent IVF simulation with the same sample-initialized

@@ -232,6 +232,58 @@ def test_quarantine_spark_split(spark):
         dsrmod.TABLES = old
 
 
+# ------------------------------------------------------------------ API layer
+
+def test_api_resolve_entity_semantics(spark):
+    from crawler_tjce_spark import api
+
+    mapping = spark.createDataFrame(
+        [("comarca-de-fortaleza", "Comarca de Fortaleza"),
+         ("juizo-de-sobral", "Juízo de Sobral")],
+        "slug string, official_name string",
+    )
+    assert api.resolve_entity(mapping, "juizo-de-sobral") == (
+        "juizo-de-sobral", "Juízo de Sobral")
+    # official name (any case) converts to its slug — ref main.py:866-880
+    assert api.resolve_entity(mapping, "COMARCA DE FORTALEZA")[0] == "comarca-de-fortaleza"
+    with pytest.raises(api.ApiError) as e400:
+        api.resolve_entity(mapping, "nope-nope")
+    assert e400.value.status == 400
+    with pytest.raises(api.ApiError) as emiss:
+        api.resolve_entity(mapping, "")
+    assert emiss.value.status == 400
+
+
+def test_api_serialize_editais_coercions(spark):
+    from crawler_tjce_spark import api
+
+    df = spark.createDataFrame(
+        [(1, 2024, "ALIM", "01/01/2024", "P1", "ok", "123.45"),
+         (None, None, None, None, None, None, "-"),
+         (3, 2025, "COM", "02/01/2024", "P3", "ok", "garbage")],
+        "ordem int, ano_orcamento int, natureza string, data_cadastro string, "
+        "precatorio string, status string, valor string",
+    )
+    rows = {r["ordem"]: r for r in api.serialize_editais(df).collect()}
+    assert rows[1]["valor"] == 123.45
+    assert rows[0]["valor"] == 0.0 and rows[0]["natureza"] == "-"  # None ordem → 0
+    assert rows[3]["valor"] == 0.0  # unparseable → 0.0 (ref main.py:190-199)
+
+
+def test_api_fetch_filters_by_resolved_slug(spark):
+    from crawler_tjce_spark import api
+
+    mapping = spark.createDataFrame(
+        [("comarca-de-fortaleza", "Comarca de Fortaleza")], "slug string, official_name string")
+    prec = spark.createDataFrame(
+        [("comarca-de-fortaleza", 2024, 1), ("outra", 2024, 2),
+         ("comarca-de-fortaleza", 2023, 3)],
+        "entity_slug string, ano_orcamento int, ordem int",
+    )
+    got = api.fetch_precatorios(prec, mapping, "Comarca de Fortaleza", year=2024)
+    assert [r["ordem"] for r in got.collect()] == [1]
+
+
 # ------------------------------------------------------------- entities CSV
 
 def test_entities_csv_utf8_sig_bytes(spark, tmp_path):
