@@ -207,10 +207,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q36_sessionize(spark, sf):  # §2.9 analog: gap-based sessionization
         e = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        # microsecond epoch on both sides — unix_timestamp truncates to
-        # seconds and drifts vs the DuckDB oracle on sub-second gaps
-        us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731  (ts is NTZ; session TZ pinned UTC)
-        gap = us(F.col("ts")) - us(F.lag("ts").over(w))
+        # microsecond gap via timestampdiff ON THE NTZ COLUMN — pure
+        # wall-clock arithmetic like DuckDB's epoch_us difference. (The
+        # earlier unix_micros(cast) form routed through the SESSION
+        # timezone: correct under this repo's UTC pin, but a non-UTC
+        # driver session crossing a DST boundary could flip a gap.)
+        gap = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
         newsess = F.when(gap.isNull() | (gap > 600 * 1_000_000), 1).otherwise(0)
         sess = e.withColumn(
             "session_id", F.sum(newsess).over(w.rowsBetween(Window.unboundedPreceding, 0))
