@@ -2,9 +2,14 @@
 
 ``entry(spark)`` runs the flagship frontier-scheduling query on
 sf0.001. ``queries()`` exposes one entry per implemented operator
-family from SURVEY.md §2 plus the training-data operators; each has a
-matching DuckDB ``oracle_sql()`` unless the op is not SQL-expressible
-(MinHash/SimHash banding — the driver records rows-only checks there).
+family from SURVEY.md §2 plus the training-data operators; every entry
+has a matching DuckDB ``oracle_sql()`` except q38 (its input is the
+reference's captured wire-format fixture, not a table — golden tests
+cover it). Approximate operators are oracled one of two ways: against
+the EXACT result when the approximation provably/verifiably recovers it
+on this corpus (q31 MinHash → exact Jaccard pair set), or by a full
+independent SQL re-simulation of the algorithm (q32 SimHash votes, q37
+sign-LSH hyperplanes, q46 IVF probe, q47 retry model).
 
 Conventions shared by both sides (so value hashes match):
 * every computed column is aliased identically in Spark and SQL;

@@ -6,6 +6,7 @@ decode-to-CSV), runnable via ``spark-submit --py-files`` or plain
 Subcommands:
   genworld   — synthesize a deterministic web world (pages/robots/seeds)
   crawl      — run the checkpointed wave crawl; resumable by default
+  snapshots  — list the snapshot log; --rollback-to for time travel
   visits-csv — export the visit log ordered by ordem
   decode     — decode DSR response JSON file(s) to a CSV
   entities   — build the slug↔name entity dimension CSV from a column
@@ -37,6 +38,15 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--fresh", action="store_true", help="ignore existing checkpoint")
     c.add_argument("--fetch-images", action="store_true")
     c.add_argument("--no-bloom", action="store_true")
+    c.add_argument("--flaky-fetch", action="store_true",
+                   help="deterministic retry/backoff model (plans/fetch.py)")
+    c.add_argument("--flaky-share", type=int, default=10)
+    c.add_argument("--flaky-fail-pct", type=int, default=40)
+
+    s = sub.add_parser("snapshots", help="list the store's snapshot log")
+    s.add_argument("--store", required=True)
+    s.add_argument("--rollback-to", type=int, default=None,
+                   help="atomically repoint current state at this snapshot id")
 
     v = sub.add_parser("visits-csv")
     v.add_argument("--world", required=True)
@@ -47,6 +57,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--table", choices=["precatorio", "edital", "pagamento"],
                    default="precatorio")
     d.add_argument("--out", required=True)
+    d.add_argument("--quarantine", action="store_true",
+                   help="validate rows; write rejects to <out>_quarantine")
     d.add_argument("pages", nargs="+", help="DSR response JSON files")
 
     e = sub.add_parser("entities")
@@ -55,6 +67,20 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--out", required=True)
 
     args = p.parse_args(argv)
+
+    if args.cmd == "snapshots":  # no Spark needed
+        from crawler_tjce_spark.sources.tableio import SnapshotStore
+
+        store = SnapshotStore(args.store)
+        if args.rollback_to is not None:
+            m = store.rollback(args.rollback_to)
+            print(json.dumps({"rolled_back_to": m["snapshot_id"], "wave": m["wave"]}))
+        else:
+            for m in store.snapshots():
+                print(json.dumps({k: m.get(k) for k in
+                                  ("snapshot_id", "wave", "ordem_offset",
+                                   "frontier_rows", "committed_at")}))
+        return 0
 
     if args.cmd == "genworld":  # no Spark needed
         from crawler_tjce_spark.datagen import WorldConfig, write_world
@@ -85,6 +111,9 @@ def main(argv: list[str] | None = None) -> int:
                 max_waves=args.max_waves,
                 use_bloom=not args.no_bloom,
                 fetch_images=args.fetch_images,
+                flaky_fetch=args.flaky_fetch,
+                flaky_share=args.flaky_share,
+                flaky_fail_pct=args.flaky_fail_pct,
             )
             manifest = runner.run(resume=not args.fresh)
             print(json.dumps({k: manifest[k] for k in ("wave", "ordem_offset", "frontier_rows")}))
@@ -109,9 +138,26 @@ def main(argv: list[str] | None = None) -> int:
 
             rows = [(i, open(f).read()) for i, f in enumerate(args.pages)]
             pages = spark.createDataFrame(rows, "page_id long, payload string")
-            out = dsr.decode_pages_df(spark, pages, table=args.table)
-            out.coalesce(1).write.mode("overwrite").option("header", True).csv(args.out)
-            print(f"decoded {out.count()} rows to {args.out}")
+            if args.quarantine:
+                from pyspark.sql import functions as F
+
+                both = dsr.decode_pages_quarantine_df(spark, pages, table=args.table)
+                good = both.filter(F.col("reject_reason").isNull()).drop("reject_reason")
+                quar = both.filter(F.col("reject_reason").isNotNull()).select(
+                    "page_id", "row_idx", "reject_reason"
+                )
+                good.coalesce(1).write.mode("overwrite").option("header", True).csv(args.out)
+                quar.coalesce(1).write.mode("overwrite").option("header", True).csv(
+                    args.out + "_quarantine"
+                )
+                print(
+                    f"decoded {good.count()} rows to {args.out}; "
+                    f"{quar.count()} quarantined to {args.out}_quarantine"
+                )
+            else:
+                out = dsr.decode_pages_df(spark, pages, table=args.table)
+                out.coalesce(1).write.mode("overwrite").option("header", True).csv(args.out)
+                print(f"decoded {out.count()} rows to {args.out}")
         elif args.cmd == "entities":
             from crawler_tjce_spark.sources.entities import (
                 build_entity_mapping,

@@ -19,16 +19,25 @@ progress              ``_manifest.json`` atomic commit per wave
 
 Per wave:
 1. broadcast-join robots budgets onto the frontier;
-2. salted per-host politeness pick (``plans.frontier.politeness_pick``);
-3. assign global ``ordem`` (two-pass, no single-task window) + persist;
+2. fused salted politeness pick + global ``ordem``
+   (``plans.frontier.politeness_pick_ordem`` — the stage-2 politeness
+   rank IS the within-host visit rank; one eager materialization) +
+   deterministic fetch retry/backoff lineage (``plans.fetch``);
+3. payload fetch launches CONCURRENTLY (own thread, FAIR scheduler):
+   it depends only on the picked set, so the wave's bookkeeping hides
+   under it instead of adding to it;
 4. "fetch" = join picked URLs against the pages table (the synthetic
    web); real fetching swaps in an Arrow-batched UDF with identical
-   schema — the scheduling semantics don't change;
+   schema — the scheduling semantics don't change; retry-exhausted URLs
+   are visited but expand nothing;
 5. discovered links: explode out-links, attribute each new URL to its
    first fetcher in visit order (``min_by(parent_depth, ordem)`` —
    matches the sequential simulator exactly), bloom-prefilter + exact
-   anti-join against seen, split on robots;
-6. new frontier = old − picked + discovered∧allowed; commit manifest.
+   anti-join against seen (broadcast hint while the seen set is small),
+   split on robots;
+6. bloom update, per-host metrics table, and the next-frontier write
+   (old − picked + discovered∧allowed) run as three concurrent jobs;
+   join payload; commit manifest (+ snapshot log for time travel).
 
 Every wave's outputs are written then *re-read* before use: this
 truncates the logical plan (no unbounded lineage growth across waves)
