@@ -521,6 +521,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q48_api_filters"] = q48_api_filters
 
+    def q49_robots_match(spark, sf):
+        # End-to-end robots.txt semantics (north_rule): the REAL parser +
+        # longest-match join run over literal robots bodies; the oracle is
+        # a hand-translated SQL specification of the same rules — fully
+        # independent of the implementation.
+        from crawler_tjce_spark.plans.robots_txt import parse_robots_txt, robots_ok_join
+
+        bodies = spark.createDataFrame(
+            [
+                ("h0.example",
+                 "User-agent: tjce-spark\nDisallow: /private/\nAllow: /private/pub*.html\n"),
+                ("h1.example",
+                 "User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp\n"),
+            ],
+            "host string, robots_txt string",
+        )
+        k = F.col("o_orderkey")
+        path = (
+            F.when(k % 5 == 0, F.lit("/private/doc.html"))
+            .when(k % 5 == 1, F.concat(F.lit("/private/pub"), k.cast("string"), F.lit(".html")))
+            .when(k % 5 == 2, F.concat(F.lit("/a/"), k.cast("string"), F.lit(".pdf")))
+            .when(k % 5 == 3, F.concat(F.lit("/tmp/"), k.cast("string")))
+            .otherwise(F.concat(F.lit("/ok/"), k.cast("string")))
+        )
+        urls = _t(spark, sf, "orders").select(
+            "o_orderkey",
+            F.concat(F.lit("h"), (k % 3).cast("string"), F.lit(".example")).alias("host"),
+            F.concat(
+                F.lit("https://h"), (k % 3).cast("string"), F.lit(".example"), path
+            ).alias("url"),
+        )
+        return robots_ok_join(
+            urls, parse_robots_txt(bodies), agent="tjce-spark"
+        ).select("o_orderkey", "robots_ok")
+
+    q["q49_robots_match"] = q49_robots_match
+
     # -- DSR wire-format decode (golden fixture; no SQL oracle — the
     # input is the reference's captured Power BI response, not a table)
     def q38_dsr_decode(spark, sf):
@@ -1085,6 +1122,40 @@ def oracle_sql() -> dict[str, str]:
         WHERE year(o_orderdate) >= 1994 AND year(o_orderdate) <= 1996
           AND o_totalprice >= 120000.0
           AND lower(o_orderpriority) = lower('2-high')
+    """
+
+    # q49: hand-translated specification of the two literal robots bodies
+    # (h0: exact-agent group, Allow longer than Disallow wins on
+    # /private/pub*.html; h1: '*' group, $-anchored *.pdf + /tmp prefix;
+    # h2: no robots → allow). Independent of the Spark parser/matcher.
+    o["q49_robots_match"] = r"""
+        WITH u AS (
+          SELECT o_orderkey,
+                 'h' || (o_orderkey % 3) || '.example' AS host,
+                 CASE
+                   WHEN o_orderkey % 5 = 0 THEN '/private/doc.html'
+                   WHEN o_orderkey % 5 = 1 THEN '/private/pub' || o_orderkey || '.html'
+                   WHEN o_orderkey % 5 = 2 THEN '/a/' || o_orderkey || '.pdf'
+                   WHEN o_orderkey % 5 = 3 THEN '/tmp/' || o_orderkey
+                   ELSE '/ok/' || o_orderkey
+                 END AS path
+          FROM orders
+        )
+        SELECT o_orderkey,
+               CASE
+                 WHEN host = 'h0.example' THEN
+                   CASE WHEN regexp_matches(path, '^/private/pub.*\.html')
+                        THEN TRUE
+                        WHEN regexp_matches(path, '^/private/')
+                        THEN FALSE
+                        ELSE TRUE END
+                 WHEN host = 'h1.example' THEN
+                   CASE WHEN regexp_matches(path, '^/.*\.pdf$') THEN FALSE
+                        WHEN regexp_matches(path, '^/tmp') THEN FALSE
+                        ELSE TRUE END
+                 ELSE TRUE
+               END AS robots_ok
+        FROM u
     """
 
     # q46: full independent IVF simulation with the same sample-initialized

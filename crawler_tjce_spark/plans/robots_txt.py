@@ -1,0 +1,177 @@
+"""robots.txt parsing + matching as DataFrame plans (RFC 9309 subset).
+
+The pre-parsed per-host table (``plans/robots.py``) is the crawl loop's
+hot-path shape; THIS module is the ingestion path that produces it from
+raw ``robots.txt`` bodies fetched at scale — everything declarative, so
+parsing 10^8 robots bodies is one scan:
+
+* ``parse_robots_txt`` — lines → directives → user-agent GROUPS (RFC:
+  consecutive ``User-agent`` lines share the rule block that follows;
+  a blank/rule line closes the agent list) → one row per (host, agent,
+  rule, path pattern, specificity, crawl_delay), with the path pattern
+  pre-compiled to a Java regex (``*`` → ``.*``, trailing ``$`` anchors,
+  everything else quoted);
+* ``robots_ok_join`` — per URL: pick the agent group (exact agent if
+  the host defines one, else ``*``), apply the LONGEST-MATCH rule
+  (specificity = pattern length; tie → Allow, per RFC 9309 §2.2.2),
+  default allow when nothing matches;
+* ``crawl_delay_budgets`` — per-host politeness budget from
+  ``Crawl-delay`` (budget = wave_seconds / delay, floored at 1).
+
+Reference parity note: the reference crawls ONE portal and carries no
+robots logic at all; this module exists for the BASELINE north_rule
+("robots.txt + per-host politeness budgets enforced ... at
+10^10-frontier scale").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DIRECTIVE_RE = r"(?i)^\s*(user-agent|disallow|allow|crawl-delay)\s*:\s*([^#]*?)\s*(#.*)?$"
+
+
+def _pattern_to_regex(path_col: str):  # -> Column (Java regex string)
+    """robots path pattern → anchored Java regex: quote metacharacters,
+    ``*`` → ``.*``, a trailing ``$`` anchors the end."""
+    pat = F.col(path_col)
+    ends_anchor = pat.endswith("$")
+    body = F.when(
+        ends_anchor, F.expr(f"substring({path_col}, 1, length({path_col}) - 1)")
+    ).otherwise(pat)
+    # quote regex metachars except '*' (handled) — backslash-escape each
+    esc = F.regexp_replace(body, r"([.^+?(){}\[\]|\\$])", r"\\$1")
+    esc = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(F.lit("^"), esc, F.when(ends_anchor, F.lit("$")).otherwise(F.lit("")))
+
+
+def parse_robots_txt(
+    bodies: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, robots_txt) → one row per rule:
+    (host, agent, rule ∈ {allow, disallow}, path, regex, specificity,
+    crawl_delay). Group semantics: a rule belongs to every agent named
+    by the run of ``User-agent`` lines immediately above it."""
+    lines = bodies.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(txt_col, "\n")).alias("pos", "line"),
+    )
+    d = lines.select(
+        "host",
+        "pos",
+        F.lower(F.regexp_extract("line", _DIRECTIVE_RE, 1)).alias("directive"),
+        F.regexp_extract("line", _DIRECTIVE_RE, 2).alias("value"),
+    ).filter(F.col("directive") != "")
+
+    w = Window.partitionBy("host").orderBy("pos")
+    # a user-agent line STARTS a new group unless the previous directive
+    # line was also user-agent (consecutive UA lines share the group)
+    is_ua = (F.col("directive") == "user-agent").cast("int")
+    prev_ua = F.coalesce(F.lag(is_ua).over(w), F.lit(0))
+    group_start = ((is_ua == 1) & (prev_ua == 0)).cast("int")
+    grouped = d.withColumn("group_id", F.sum(group_start).over(w)).filter(
+        F.col("group_id") > 0  # directives before any User-agent are ignored
+    )
+
+    agents = (
+        grouped.filter(F.col("directive") == "user-agent")
+        .select("host", "group_id", F.lower(F.trim("value")).alias("agent"))
+        .distinct()
+    )
+    delays = (
+        grouped.filter(F.col("directive") == "crawl-delay")
+        .groupBy("host", "group_id")
+        .agg(F.min(F.col("value").try_cast("double")).alias("crawl_delay"))
+    )
+    rules = (
+        grouped.filter(F.col("directive").isin("allow", "disallow"))
+        .filter(F.trim("value") != "")  # empty Disallow: = allow all (no rule)
+        .select(
+            "host",
+            "group_id",
+            F.col("directive").alias("rule"),
+            F.trim(F.col("value")).alias("path"),
+        )
+        .withColumn("regex", _pattern_to_regex("path"))
+        .withColumn("specificity", F.length("path"))
+    )
+    return (
+        agents.join(rules, ["host", "group_id"], "left")
+        .join(delays, ["host", "group_id"], "left")
+        .select("host", "agent", "rule", "path", "regex", "specificity", "crawl_delay")
+    )
+
+
+def robots_ok_join(
+    urls: DataFrame, rules: DataFrame, agent: str = "*", url_col: str = "url"
+) -> DataFrame:
+    """Attach ``robots_ok`` per URL from parsed rules (broadcast join).
+
+    Agent-group selection per host: the exact ``agent`` group when the
+    host defines one, else the ``*`` group (RFC: exactly one group
+    applies). Longest-match wins; ties go to Allow; no match → allowed.
+    """
+    a = agent.lower()
+    w_host = Window.partitionBy("host")
+    pool = (
+        rules.filter(F.col("agent").isin(a, "*") & F.col("rule").isNotNull())
+        .withColumn("_exact", F.max((F.col("agent") == a).cast("int")).over(w_host))
+        .filter((F.col("agent") == a) | (F.col("_exact") == 0))
+        .select("host", "rule", "regex", "specificity")
+    )
+    path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]*(/.*)?$", 1)
+    with_path = urls.withColumn("_path", F.when(path == "", "/").otherwise(path))
+    j = with_path.join(F.broadcast(pool), "host", "left").withColumn(
+        "_hit", F.expr("_path rlike regex")
+    )
+    # best rule per URL: among hits, max (specificity, is_allow) — the
+    # is_allow component implements RFC's allow-wins-ties
+    best = F.max(
+        F.when(
+            F.col("_hit"),
+            F.struct(
+                F.col("specificity").alias("s"),
+                (F.col("rule") == "allow").cast("int").alias("a"),
+            ),
+        )
+    ).alias("_best")
+    out_cols = [c for c in with_path.columns if c != "_path"]
+    return (
+        j.groupBy(*out_cols)
+        .agg(best)
+        .withColumn(
+            "robots_ok",
+            F.when(F.col("_best").isNull(), F.lit(True)).otherwise(F.col("_best.a") == 1),
+        )
+        .drop("_best")
+    )
+
+
+def crawl_delay_budgets(
+    rules: DataFrame, wave_seconds: float = 60.0, default_budget: int = 4, agent: str = "*"
+) -> DataFrame:
+    """Per-host ``host_budget`` from Crawl-delay: fetches allowed per
+    wave = wave_seconds / delay (floor 1); hosts without a delay get
+    ``default_budget``. Output joins straight into ``with_robots``'s
+    budget column."""
+    a = agent.lower()
+    w_host = Window.partitionBy("host")
+    pool = (
+        rules.filter(F.col("agent").isin(a, "*"))
+        .withColumn("_exact", F.max((F.col("agent") == a).cast("int")).over(w_host))
+        .filter((F.col("agent") == a) | (F.col("_exact") == 0))
+    )
+    return (
+        pool.groupBy("host")
+        .agg(F.min("crawl_delay").alias("crawl_delay"))
+        .withColumn(
+            "host_budget",
+            F.when(
+                F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
+                F.greatest(F.floor(F.lit(wave_seconds) / F.col("crawl_delay")), F.lit(1)),
+            )
+            .otherwise(F.lit(default_budget))
+            .cast("int"),
+        )
+    )
