@@ -1,9 +1,11 @@
 """Deduplication operators for the training-data pipeline.
 
 All candidate generation is JVM-side (hash/array expressions + shuffles
-on band keys); no per-row Python. Verification of candidate pairs uses
-exact set arithmetic on shingle arrays (``array_intersect`` /
-``array_union``), also JVM-side.
+on band keys); no per-row Python anywhere except the blocked-GEMM
+embedding join, whose per-task work is one numpy matrix multiply over
+an Arrow batch. Exact verification counts shared shingles through an
+equi-join (``_shared_count_verify``) — never a per-pair array
+intersection in the hot path.
 
 Scale notes (10^11-document corpora):
 * exact/fingerprint dedup — one shuffle on an 8/16-byte key;
@@ -11,8 +13,15 @@ Scale notes (10^11-document corpora):
   are 8-byte hashes so the shuffle is narrow. Bucket skew (a viral
   boilerplate string) is bounded by ``lsh_max_bucket``: oversized
   buckets are dropped and logged, the standard web-dedup practice.
+* exact n-gram Jaccard — prefix-filtered (AllPairs/PPJoin): a hot
+  shingle sorts last in the global frequency order and drops out of
+  the indexed prefixes, so it cannot create a quadratic join;
 * SimHash — 64 bit-vote aggregations are one map-side-combinable
-  groupBy; banding on 16-bit chunks bounds the pair candidate set.
+  groupBy; the 16-bit-chunk pigeonhole banding is an EXACT cover for
+  hamming ≤ 3 (no recall loss);
+* embedding near-dup — blocked all-pairs GEMM keyed by block pairs
+  (exactness at low cosine thresholds admits no lossless bucketing;
+  the shape makes the quadratic work distributable).
 """
 
 from __future__ import annotations
@@ -142,29 +151,6 @@ def lsh_candidate_pairs(
         .distinct()
     )
     return pairs
-
-
-def jaccard_verify(
-    pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
-) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (adds ``jaccard``).
-
-    Joins the (distinct) shingle arrays back to both sides; set ops are
-    ``array_intersect``/``array_union`` sizes — JVM-side.
-    """
-    sh = docs.select(
-        F.col(id_col), F.array_distinct(shingles(text_col, shingle_k)).alias("_sh")
-    )
-    return (
-        pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "_sha"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "_shb"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("_sha", "_shb")).cast("double")
-            / F.size(F.array_union("_sha", "_shb")),
-        )
-        .drop("_sha", "_shb")
-    )
 
 
 def _shared_count_verify(
