@@ -103,10 +103,22 @@ PAGAMENTO_SCHEMA = (
     "rra decimal(18,2), valor_liquido decimal(18,2)"
 )
 
+# (named_fields, positional_fields, spark_schema, pagamentos_semantics)
+# The pagamentos decoder differs from precatórios/editais in two wire
+# semantics (both verified against the reference's production CSV):
+# * wire row 0 is schema-only — dropped, and delta inheritance starts
+#   from type DEFAULTS, not row 0's values (pagamentos_crawler.py:524-547
+#   — "A linha 0 é apenas schema");
+# * a short C array assigns the DEFAULT to the remaining new-value
+#   columns (pagamentos_crawler.py:580-583) instead of keeping the
+#   inherited value (the precatórios fallback), and a missing R means
+#   all-new (``get("R", 0)``) rather than inherit-all.
+# precatórios/editais process row 0 as data (crawler.py:856-876,
+# edital_crawler.py:548-602 — verified by the 158-row editais golden).
 TABLES = {
-    "precatorio": (PRECATORIO_FIELDS, None, DECODED_SCHEMA),
-    "edital": (None, EDITAL_FIELDS_POS, EDITAL_SCHEMA),
-    "pagamento": (None, PAGAMENTO_FIELDS_POS, PAGAMENTO_SCHEMA),
+    "precatorio": (PRECATORIO_FIELDS, None, DECODED_SCHEMA, False),
+    "edital": (None, EDITAL_FIELDS_POS, EDITAL_SCHEMA, False),
+    "pagamento": (None, PAGAMENTO_FIELDS_POS, PAGAMENTO_SCHEMA, True),
 }
 
 
@@ -211,6 +223,7 @@ def decode_page(
     fields: list[tuple[str, str, str]] = PRECATORIO_FIELDS,
     positional_fields: list[tuple[str, str]] | None = None,
     collect_rejects: bool = False,
+    pagamentos_semantics: bool = False,
 ) -> list[dict] | tuple[list[dict], list[dict]]:
     """Decode one DSR response page into typed row dicts.
 
@@ -254,22 +267,49 @@ def decode_page(
     rows: list[dict] = []
     rejects: list[dict] = []
 
+    first_data = 1 if pagamentos_semantics else 0
     for row_idx, item in enumerate(dm0):
+        if row_idx < first_data:
+            continue  # schema-only artifact row (pagamentos semantics):
+            # its C values never enter the inheritance state — the first
+            # delta row inherits type defaults (raw None → coerce default)
         c = item.get("C", [])
-        mask = 0 if row_idx == 0 else item.get("R")
-        if row_idx > 0 and mask is None:
-            mask = (1 << ncols) - 1  # no R ⇒ inherit everything
+        mask = 0 if row_idx == first_data and not pagamentos_semantics else item.get("R")
+        if mask is None:
+            # missing R: precatórios/editais treat it as inherit-all
+            # (crawler.py:912-917); the pagamentos decoder defaults R to 0
+            # = all-new (pagamentos_crawler.py:546 ``get("R", 0)``)
+            mask = 0 if pagamentos_semantics else (1 << ncols) - 1
         ci = 0
         reasons: list[str] = []
         for col in range(ncols):
             if row_idx > 0 and (mask >> col) & 1:
                 continue  # inherit previous value
             if ci >= len(c):
-                continue  # short C: keep inherited value (ref fallback)
+                # short C: precatórios keep the inherited value
+                # (crawler.py fallback); pagamentos assign the DEFAULT
+                # (pagamentos_crawler.py:580-583) — verified against the
+                # production CSV's blank runs
+                if pagamentos_semantics:
+                    raw[col] = None
+                continue
             wire = c[ci]
             ci += 1
             dn = schema[col].get("DN")
-            if dn and isinstance(wire, int) and not isinstance(wire, bool):
+            if pagamentos_semantics and dn:
+                # pagamentos dict columns force int() coercion of ANY wire
+                # value (floats truncate); failures and out-of-range fall to
+                # the DEFAULT (pagamentos_crawler.py:556-574) — verified
+                # against the production CSV's blanked cpf on a float wire
+                vd = value_dicts.get(dn, [])
+                try:
+                    idx = int(wire)
+                    raw[col] = vd[idx] if 0 <= idx < len(vd) else None
+                    if not (0 <= idx < len(vd)):
+                        reasons.append(f"dict_oob:{col}")
+                except (ValueError, TypeError):
+                    raw[col] = None
+            elif dn and isinstance(wire, int) and not isinstance(wire, bool):
                 vd = value_dicts.get(dn, [])
                 if 0 <= wire < len(vd):
                     raw[col] = vd[wire]
@@ -335,7 +375,7 @@ def decode_pages_df(
     parallel."""
     import pandas as pd
 
-    fields, positional, schema = TABLES[table]
+    fields, positional, schema, skip_first = TABLES[table]
     cols = ["page_id", "row_idx"] + (
         [f for f, _, _ in fields] if fields else [f for f, _ in positional]
     )
@@ -344,7 +384,8 @@ def decode_pages_df(
         all_rows = []
         for pid, payload in zip(pdf["page_id"], pdf["payload"]):
             for row in decode_page(
-                json.loads(payload), fields or PRECATORIO_FIELDS, positional
+                json.loads(payload), fields or PRECATORIO_FIELDS, positional,
+                pagamentos_semantics=skip_first,
             ):
                 row["page_id"] = int(pid)
                 all_rows.append(row)
@@ -370,7 +411,7 @@ def decode_pages_quarantine_df(
     """
     import pandas as pd
 
-    fields, positional, schema = TABLES[table]
+    fields, positional, schema, skip_first = TABLES[table]
     cols = ["page_id", "row_idx"] + (
         [f for f, _, _ in fields] if fields else [f for f, _ in positional]
     )
@@ -382,7 +423,7 @@ def decode_pages_quarantine_df(
         for pid, payload in zip(pdf["page_id"], pdf["payload"]):
             rows, rejects = decode_page(
                 json.loads(payload), fields or PRECATORIO_FIELDS, positional,
-                collect_rejects=True,
+                collect_rejects=True, pagamentos_semantics=skip_first,
             )
             for row in rows:
                 row["page_id"] = int(pid)
@@ -405,6 +446,49 @@ def decode_pages_quarantine_df(
 # ---------------------------------------------------------------------------
 # CSV sink (ref crawler/crawler.py:1108-1201)
 # ---------------------------------------------------------------------------
+
+def write_editais_csv(df: DataFrame, out_path: str) -> None:
+    """Reference-parity editais CSV (``crawler/edital_crawler.py:690-731``):
+    utf-8-sig + CRLF (csv.DictWriter defaults), fixed column order,
+    ``'-'`` placeholders rendered as empty, Decimal ``valor`` →
+    ``R$ 1.234,56``. Byte-identical to the reference's own crawl output
+    for the captured fixture (golden test). The formatting runs as Spark
+    expressions; only the bounded final rows pass through the driver's
+    csv writer (single-artifact sink, like the reference's)."""
+    import csv as _csv
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from crawler_tjce_spark.functions.ptbr import format_currency_ptbr
+
+    def _blank_dash(c: str):
+        s = F.col(c).cast("string")
+        return F.when(s == "-", F.lit("")).otherwise(F.coalesce(s, F.lit("")))
+
+    # post-decode re-sort by ordem (ref edital_crawler.py:630-631 — the
+    # wire scan arrives DESC, the artifact is written ASC)
+    out = df.orderBy(F.col("ordem").cast("long"), "page_id", "row_idx").select(
+        _blank_dash("ordem").alias("ordem"),
+        _blank_dash("ano_orcamento").alias("ano_orcamento"),
+        _blank_dash("natureza").alias("natureza"),
+        _blank_dash("data_cadastro").alias("data_cadastro"),
+        _blank_dash("precatorio").alias("precatorio"),
+        _blank_dash("status").alias("status"),
+        format_currency_ptbr(F.col("valor").cast("double")).alias("valor"),
+    )
+    rows = out.collect()
+    d = _os.path.dirname(out_path)
+    if d:
+        _os.makedirs(d, exist_ok=True)
+    fieldnames = ["ordem", "ano_orcamento", "natureza", "data_cadastro",
+                  "precatorio", "status", "valor"]
+    with open(out_path, "w", newline="", encoding="utf-8-sig") as f:
+        w = _csv.DictWriter(f, fieldnames=fieldnames)
+        w.writeheader()
+        for r in rows:
+            w.writerow({k: r[k] for k in fieldnames})
+
 
 def write_csv_ptbr(df: DataFrame, out_path: str) -> None:
     """Reference-parity CSV: fixed column order, header always,

@@ -49,6 +49,12 @@ def test_edital_decode(edital):
 
 
 def test_pagamentos_decode_matches_restart_token(pagamentos):
+    # WIRE-TRUTH mode (pagamentos_semantics=False): row 0 is data and the
+    # server restart token — the true last-row state — is the oracle for
+    # every field, validating the R-mask/dict machinery end to end.
+    # REFERENCE-PARITY mode (the default for table='pagamento') skips row
+    # 0 like the reference does and is pinned against the reference's own
+    # production CSV in tests/test_round2.py.
     rows = dsr.decode_page(pagamentos, positional_fields=dsr.PAGAMENTO_FIELDS_POS)
     assert len(rows) == 500
     rt = pagamentos["results"][0]["result"]["data"]["dsr"]["DS"][0]["RT"][0]
@@ -80,5 +86,5 @@ def test_variants_distributed(spark, edital, pagamentos):
     p = spark.createDataFrame([(0, json.dumps(pagamentos))], "page_id long, payload string")
     de = dsr.decode_pages_df(spark, e, table="edital")
     dp = dsr.decode_pages_df(spark, p, table="pagamento")
-    assert de.count() == 158 and dp.count() == 500
+    assert de.count() == 158 and dp.count() == 499
     assert "valor" in de.columns and "valor_liquido" in dp.columns
