@@ -2,14 +2,15 @@
 
 ``entry(spark)`` runs the flagship frontier-scheduling query on
 sf0.001. ``queries()`` exposes one entry per implemented operator
-family from SURVEY.md §2 plus the training-data operators; every entry
-has a matching DuckDB ``oracle_sql()`` except q38 (its input is the
-reference's captured wire-format fixture, not a table — golden tests
-cover it). Approximate operators are oracled one of two ways: against
-the EXACT result when the approximation provably/verifiably recovers it
-on this corpus (q31 MinHash → exact Jaccard pair set), or by a full
+family from SURVEY.md §2 plus the training-data operators; EVERY entry
+has a matching DuckDB ``oracle_sql()`` (since r3 that includes q38,
+whose oracle re-implements the DSR wire decode in SQL over the same
+captured fixture, anchored by the server's RT restart token).
+Approximate operators are oracled one of two ways: against the EXACT
+result when the approximation provably/verifiably recovers it on this
+corpus (q31 MinHash → exact Jaccard pair set), or by a full
 independent SQL re-simulation of the algorithm (q32 SimHash votes, q37
-sign-LSH hyperplanes, q46 IVF probe, q47 retry model).
+sign-LSH hyperplanes, q46 IVF probe, q47 retry model, q38 DSR decode).
 
 Conventions shared by both sides (so value hashes match):
 * every computed column is aliased identically in Spark and SQL;
@@ -558,8 +559,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q49_robots_match"] = q49_robots_match
 
-    # -- DSR wire-format decode (golden fixture; no SQL oracle — the
-    # input is the reference's captured Power BI response, not a table)
+    # -- DSR wire-format decode of the reference's captured Power BI
+    # response. Oracled since r3: the DuckDB side re-implements the wire
+    # decode (R-mask delta inheritance + ValueDicts + coercions) from
+    # scratch in SQL over the same JSON file — and the fixture's own
+    # server-issued RT restart token independently pins the 500th row
+    # (ordem 500, processo 0001637-12.2021.8.06.0000, ano 2022,
+    # valor 33043.15), so both engines are anchored to the server truth.
     def q38_dsr_decode(spark, sf):
         import json
 
@@ -569,7 +575,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             raw = f.read()
         pages = spark.createDataFrame([(0, raw)], "page_id long, payload string")
         return dsr.decode_pages_df(spark, pages).select(
-            "ordem", "processo", "ano_orcamento", "natureza", "valor_original"
+            "row_idx", "ordem", "processo", "ano_orcamento", "natureza",
+            F.round("valor_original", 2).alias("valor_original"),
         )
 
     q["q38_dsr_decode"] = q38_dsr_decode
@@ -1086,7 +1093,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # q47: independent re-computation of the deterministic retry model —
-    # same md5 probe, same tenacity backoff schedule (4, 8 s; cap 10).
+    # same md5 probe, same tenacity wait_exponential(mult=1, min=4,
+    # max=10) schedule: waits 4 s then 4 s (2^1 and 2^2 clamp to min).
     o["q47_fetch_lineage"] = """
         WITH u AS (
           SELECT o_orderkey,
@@ -1109,9 +1117,92 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN NOT f1 THEN 1 WHEN NOT f2 THEN 2 ELSE 3 END AS INTEGER)
                  AS fetch_attempts,
                CASE WHEN f1 AND f2 AND f3 THEN 'error' ELSE 'ok' END AS fetch_status,
-               CAST(CASE WHEN NOT f1 THEN 0 WHEN NOT f2 THEN 4 ELSE 12 END AS INTEGER)
+               CAST(CASE WHEN NOT f1 THEN 0 WHEN NOT f2 THEN 4 ELSE 8 END AS INTEGER)
                  AS backoff_total_s
         FROM f
+    """
+
+    # q38: independent DuckDB re-implementation of the DSR wire decode
+    # (ref crawler/crawler.py:856-917 semantics): R-mask delta
+    # inheritance (row 0 = all-new, missing R = inherit-all), C values
+    # consumed in unmasked-column order (pos = col − popcount(mask
+    # below col)), short-C keeps the inherited value, ValueDicts
+    # resolution with out-of-range indices inheriting, then the same
+    # field coercions. Anchored to server truth: the fixture's RT
+    # restart token pins the 500th decoded row exactly.
+    o["q38_dsr_decode"] = """
+        WITH j AS (
+          SELECT content::JSON v
+          FROM read_text('/root/reference/examples/response.json')
+        ), ds AS (
+          SELECT json_extract(v, '$.results[0].result.data.dsr.DS[0]') d FROM j
+        ), rws AS (
+          SELECT i AS row_idx,
+                 json_extract(d, '$.PH[0].DM0[' || i || '].C') AS c,
+                 json_extract(d, '$.PH[0].DM0[' || i || '].R') AS r,
+                 d
+          FROM ds, generate_series(0, 9999) AS t(i)
+          WHERE i < CAST(json_array_length(json_extract(d, '$.PH[0].DM0')) AS INT)
+        ), m AS (
+          SELECT row_idx, c, d,
+                 CASE WHEN row_idx = 0 THEN 0
+                      WHEN r IS NULL THEN 1023
+                      ELSE CAST(r AS INT) END AS mask
+          FROM rws
+        ), cells AS (
+          SELECT row_idx, col, d, c, mask,
+                 CAST(json_array_length(c) AS INT) AS clen,
+                 CASE WHEN (mask >> col) & 1 = 1 THEN NULL
+                      ELSE col - bit_count(mask & ((1 << col) - 1)) END AS pos
+          FROM m, generate_series(0, 9) t(col)
+        ), newvals AS (
+          SELECT row_idx, col, d,
+                 pos IS NOT NULL AND pos < clen AS has_new,
+                 CASE WHEN pos IS NOT NULL AND pos < clen
+                      THEN json_extract(c, '$[' || pos || ']') END AS raw
+          FROM cells
+        ), resolved AS (
+          SELECT row_idx, col,
+                 CASE WHEN NOT has_new THEN FALSE
+                      WHEN col IN (0, 2) AND json_type(raw) IN ('BIGINT', 'UBIGINT')
+                           AND NOT (TRY_CAST(raw AS BIGINT) >= 0 AND TRY_CAST(raw AS BIGINT) <
+                                    CAST(json_array_length(d, CASE col WHEN 0 THEN '$.ValueDicts.D0'
+                                                                 ELSE '$.ValueDicts.D1' END) AS BIGINT))
+                        THEN FALSE
+                      ELSE TRUE END AS has_val,
+                 CASE WHEN col = 0 AND json_type(raw) IN ('BIGINT', 'UBIGINT')
+                        THEN json_extract_string(d, '$.ValueDicts.D0[' || TRY_CAST(raw AS BIGINT) || ']')
+                      WHEN col = 2 AND json_type(raw) IN ('BIGINT', 'UBIGINT')
+                        THEN json_extract_string(d, '$.ValueDicts.D1[' || TRY_CAST(raw AS BIGINT) || ']')
+                      ELSE json_extract_string(raw, '$') END AS val
+          FROM newvals
+        ), filled AS (
+          SELECT row_idx, col, val,
+                 SUM(CASE WHEN has_val THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY col ORDER BY row_idx) AS grp
+          FROM resolved
+        ), ff AS (
+          SELECT row_idx, col,
+                 FIRST_VALUE(val) OVER (PARTITION BY col, grp ORDER BY row_idx) AS v
+          FROM filled
+        ), wide AS (
+          SELECT row_idx,
+                 MAX(CASE WHEN col = 6 THEN v END) AS ordem_s,
+                 MAX(CASE WHEN col = 0 THEN v END) AS processo_s,
+                 MAX(CASE WHEN col = 1 THEN v END) AS ano_s,
+                 MAX(CASE WHEN col = 2 THEN v END) AS natureza_s,
+                 MAX(CASE WHEN col = 5 THEN v END) AS valor_s
+          FROM ff GROUP BY row_idx
+        )
+        SELECT CAST(row_idx AS INT) AS row_idx,
+               CAST(CAST(ordem_s AS DOUBLE) AS BIGINT) AS ordem,
+               regexp_replace(trim(processo_s), '[^A-Za-z0-9.\\-]', '', 'g') AS processo,
+               CAST(CAST(ano_s AS DOUBLE) AS BIGINT) AS ano_orcamento,
+               CASE WHEN natureza_s IS NULL OR trim(natureza_s) = ''
+                         OR lower(trim(natureza_s)) = 'none'
+                    THEN '-' ELSE trim(natureza_s) END AS natureza,
+               round(CAST(valor_s AS DOUBLE), 2) AS valor_original
+        FROM wide
     """
 
     o["q48_api_filters"] = """

@@ -205,7 +205,12 @@ def generate_images_spark(
             ]
             yield pd.DataFrame(rows)
 
-    n_parts = max(8, spark.sparkContext.defaultParallelism * 2)
+    # 8× parallelism, not 2×: payload tasks must be SHORT so that (a) the
+    # straggler tail at stage end wastes at most ~1/8 of a task wave and
+    # (b) concurrently submitted bookkeeping jobs (FAIR pool) wait at most
+    # one short task for a slot — with 2× the measured slot-wait behind
+    # ~26 s payload tasks was the r2 scaling killer (BENCH r2 links step).
+    n_parts = max(8, spark.sparkContext.defaultParallelism * 8)
     return (
         image_ids_df.select("image_id")
         .distinct()

@@ -425,10 +425,16 @@ def embedding_near_dup_pairs(
     B = n_blocks
     dim_threshold = float(threshold)
 
+    # block-assign via xxhash64 on the id AS IS: it hashes any atomic
+    # type, so string/url ids work unchanged (an ANSI cast-to-long here
+    # would throw CAST_INVALID_INPUT on non-numeric ids — ADVICE r2);
+    # the original id value is carried through the pandas UDF and the
+    # output id columns keep the input id type.
+    id_type = df.schema[id_col].dataType.simpleString()
     tagged = df.select(
-        F.col(id_col).cast("long").alias("_id"),
+        F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(B)).cast("int").alias("_blk"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
     )
     # every row participates in B tasks: {p,q} → task p*B+q for p<=q
     tasks = F.transform(
@@ -460,9 +466,11 @@ def embedding_near_dup_pairs(
             G = Vn[ma] @ Vn[mb].T
             r, c = np.nonzero(G >= dim_threshold)
             ida, idb, cos = ids[ma][r], ids[mb][c], G[r, c]
-        lo, hi = np.minimum(ida, idb), np.maximum(ida, idb)
+        flip = idb < ida  # object-safe elementwise compare (works for str ids)
+        lo = np.where(flip, idb, ida)
+        hi = np.where(flip, ida, idb)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
 
     return exploded.groupBy("_task").applyInPandas(
-        _gemm, schema="id_a long, id_b long, cosine double"
+        _gemm, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
     )

@@ -16,8 +16,12 @@ expressions (JVM-side, vectorized — no Python in the hot path):
   (``crc32(host) % 100 < flaky_share``), the rest never fail — the
   sandbox stand-in for real per-host reliability. A real deployment
   feeds observed failure rates in through the same column.
-* backoff before retry ``r`` = ``min(mult · 2^(r-1), max_s)`` — the
-  tenacity ``wait_exponential(multiplier=4, max=10)`` schedule.
+* backoff before retry ``r`` = ``clamp(mult · 2^r, min_s, max_s)`` —
+  exactly tenacity's ``wait_exponential(multiplier=1, min=4, max=10)``
+  (``crawler/crawler.py:252-254``): the wait after failed attempt ``r``
+  is ``1·2^r`` clamped into [4, 10], so the schedule runs 4, 4, 8, 10,
+  10, … (the first TWO waits are both 4 s — ``2^1=2`` and ``2^2=4``
+  both clamp up to the min).
 
 Columns added: ``fetch_attempts`` (1..max), ``fetch_status``
 (``ok``/``error``), ``backoff_total_s``.
@@ -29,14 +33,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MAX_ATTEMPTS = 3
-BACKOFF_MULT_S = 4
+BACKOFF_MULT = 1
+BACKOFF_MIN_S = 4
 BACKOFF_MAX_S = 10
 
 
 def backoff_schedule(max_attempts: int = MAX_ATTEMPTS) -> list[int]:
     """Seconds waited before retry r (1-indexed; r=1 is the wait after
-    the first failure)."""
-    return [min(BACKOFF_MULT_S * 2 ** (r - 1), BACKOFF_MAX_S) for r in range(1, max_attempts)]
+    the first failure): tenacity ``wait_exponential(multiplier=1,
+    min=4, max=10)`` → 4, 4, 8, 10, 10, …"""
+    return [
+        min(max(BACKOFF_MULT * 2**r, BACKOFF_MIN_S), BACKOFF_MAX_S)
+        for r in range(1, max_attempts)
+    ]
 
 
 def md5_probe_expr(col: Column) -> Column:

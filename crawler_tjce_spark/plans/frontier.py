@@ -76,18 +76,27 @@ def politeness_pick_ordem(
     budget_col: str = "host_budget",
     salt_buckets: int = 16,
 ) -> DataFrame:
-    """Fused politeness pick + global ``ordem`` assignment — ONE pass.
+    """Fused politeness pick + global ``ordem`` assignment — ONE job.
 
     The within-wave visit order is (host asc, score desc, url asc) and
     the politeness stage-2 window ranks by exactly (score desc, url asc)
     within host — so the stage-2 ``row_number`` IS the within-host visit
-    rank; re-ranking in a separate window (round 1) re-sorted the picked
-    set and, worse, ``scalable_global_ordem``'s separate counts pass
-    re-executed the whole frontier→robots→window pipeline a second time.
-    Here the survivors are eagerly localCheckpoint-ed (they are at most
-    hosts×budget rows), per-host counts come from the cached ranks, and
-    the broadcast offset join completes the global numbering. Measured:
-    pick_ordem wave cost ~halves at bench scale.
+    rank. The cross-host offsets need per-host *picked counts*, which
+    are known analytically without materializing the picked set: the
+    two-stage salted window keeps exactly ``min(host_rows, budget)``
+    rows per host (stage 1 keeps ≥ min(n, budget) survivors of the true
+    top-k, stage 2 trims to the budget). So the offsets come from a
+    count aggregate over the *frontier scan* — a tiny map-side-combined
+    branch that Catalyst executes as a broadcast subquery of the same
+    query — and the r2 version's two eager ``localCheckpoint``s (4+
+    driver-latency-bound jobs per wave, measured ~3-4 s of the per-wave
+    scheduling floor) disappear: the caller gets one lazy plan it can
+    pipe straight into the visit-log write.
+
+    The offsets window (cumulative count ordered by host) runs on the
+    per-host aggregate — one row per host. At 10^6+ hosts that single-
+    task window is still only ~MBs; beyond that, range-partition the
+    hosts and prefix-sum per range (same two-pass trick as ordem).
     """
     order = [F.desc("score"), F.col("url")]
     salted = frontier.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
@@ -98,12 +107,12 @@ def politeness_pick_ordem(
         .drop("_r1", "_salt")
     )
     w2 = Window.partitionBy("host").orderBy(*order)
-    picked = (
-        stage1.withColumn("_r2", F.row_number().over(w2))
-        .filter(F.col("_r2") <= F.col(budget_col))
-        .localCheckpoint(eager=True)
+    picked = stage1.withColumn("_r2", F.row_number().over(w2)).filter(
+        F.col("_r2") <= F.col(budget_col)
     )
-    counts = picked.groupBy("host").agg(F.max("_r2").alias("_cnt"))
+    counts = frontier.groupBy("host").agg(
+        F.least(F.count(F.lit(1)), F.min(budget_col)).alias("_cnt")
+    )
     w_off = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).drop(
         "_cnt"

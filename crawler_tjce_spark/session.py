@@ -54,8 +54,14 @@ def get_spark(
         # job with small bookkeeping jobs (links/seen/frontier) from a
         # second thread; under FIFO the small jobs queue behind the payload
         # job's task set and the overlap is lost. Single-job workloads are
-        # unaffected.
+        # unaffected. The allocation file makes the *default pool itself*
+        # FAIR — without it intra-pool scheduling is FIFO and the mode
+        # alone changes nothing (ADVICE r2).
         .config("spark.scheduler.mode", "FAIR")
+        .config(
+            "spark.scheduler.allocation.file",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "fairscheduler.xml"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -21,11 +21,15 @@ Per wave:
 1. broadcast-join robots budgets onto the frontier;
 2. fused salted politeness pick + global ``ordem``
    (``plans.frontier.politeness_pick_ordem`` — the stage-2 politeness
-   rank IS the within-host visit rank; one eager materialization) +
-   deterministic fetch retry/backoff lineage (``plans.fetch``);
-3. payload fetch launches CONCURRENTLY (own thread, FAIR scheduler):
-   it depends only on the picked set, so the wave's bookkeeping hides
-   under it instead of adding to it;
+   rank IS the within-host visit rank, and the cross-host offsets come
+   from an analytic count branch, so the whole pick is one lazy plan)
+   + deterministic fetch retry/backoff lineage (``plans.fetch``); the
+   visit-log parquet write is the wave's ONE materialization of the
+   picked set — payload and links re-read the written file, the picked
+   count comes from its footers;
+3. payload fetch launches CONCURRENTLY (own thread, FAIR pool with
+   fair intra-pool sharing): it depends only on the picked set, so the
+   wave's bookkeeping hides under it instead of adding to it;
 4. "fetch" = join picked URLs against the pages table (the synthetic
    web); real fetching swaps in an Arrow-batched UDF with identical
    schema — the scheduling semantics don't change; retry-exhausted URLs
@@ -57,6 +61,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from crawler_tjce_spark.perf import job_group
 from crawler_tjce_spark.plans import fetch as fetchmod
 from crawler_tjce_spark.plans import seen as seenmod
 from crawler_tjce_spark.plans.frontier import (
@@ -84,7 +89,7 @@ class CrawlRunner:
         fetch_images: bool = False,
         image_size_scale: int = 1,
         image_octaves: int = 6,
-        seen_broadcast_rows: int = 2_000_000,
+        seen_broadcast_mb: int = 64,
         flaky_fetch: bool = False,
         flaky_share: int = 10,
         flaky_fail_pct: int = 40,
@@ -100,7 +105,13 @@ class CrawlRunner:
         self.fetch_images = fetch_images
         self.image_size_scale = image_size_scale
         self.image_octaves = image_octaves
-        self.seen_broadcast_rows = seen_broadcast_rows
+        # seen-set broadcast hint budget, in MB of *estimated serialized
+        # bytes* (rows × average url length, measured at bootstrap). A
+        # row-count budget (r2) ignored key width; the real limits are
+        # driver memory and Spark's 8 GB broadcast cap, which are byte
+        # denominated. 64 MB default: comfortably under both, and the
+        # hint auto-disables at the 10^10-key story (~TB of keys).
+        self.seen_broadcast_mb = seen_broadcast_mb
         self.flaky_fetch = flaky_fetch
         self.flaky_share = flaky_share
         self.flaky_fail_pct = flaky_fail_pct
@@ -157,15 +168,26 @@ class CrawlRunner:
             f.write(self._bloom_bits)
 
     # ------------------------------------------------------------------- run
-    def run(self, resume: bool = True) -> dict:
+    def prepare(self, resume: bool = True) -> dict:
+        """One-time setup: load/bootstrap the manifest and the bloom
+        state. Split from :meth:`run_waves` so benchmarks can measure
+        the steady-state crawl loop separately from setup (a production
+        crawl amortizes bootstrap over days of waves)."""
         manifest = self.store.load_manifest() if resume else None
         if manifest is None:
-            manifest = self._bootstrap()
-        self._init_bloom(manifest["wave"])
+            with job_group(self.spark.sparkContext, "bootstrap"):
+                manifest = self._bootstrap()
+        with job_group(self.spark.sparkContext, "bloom_init"):
+            self._init_bloom(manifest["wave"])
+        return manifest
 
+    def run_waves(self, manifest: dict) -> dict:
         while manifest["wave"] < self.max_waves and manifest["frontier_rows"] > 0:
             manifest = self._run_wave(manifest)
         return manifest
+
+    def run(self, resume: bool = True) -> dict:
+        return self.run_waves(self.prepare(resume))
 
     def _bootstrap(self) -> dict:
         """Wave-0 state: seeds → frontier (robots permitting)."""
@@ -186,12 +208,19 @@ class CrawlRunner:
         )
         fpath = self.store.write_full(frontier, "frontier", 0)
         frontier_rows = self.store.count_rows(fpath)
+        seed_stats = (
+            self.seeds.select("url")
+            .distinct()
+            .agg(F.count("*").alias("n"), F.avg(F.length("url")).alias("len"))
+            .collect()[0]
+        )
         manifest = {
             "wave": 0,
             "ordem_offset": 0,
             "frontier_path": fpath,
             "frontier_rows": frontier_rows,
-            "seen_rows": self.seeds.select("url").distinct().count(),
+            "seen_rows": int(seed_stats["n"]),
+            "avg_url_bytes": float(seed_stats["len"] or 0.0),
             "metrics": [],
             "snapshot_id": 0,
         }
@@ -216,29 +245,35 @@ class CrawlRunner:
         # 1-3. budgets + salted politeness pick + global ordem, fused into a
         # single pass over the frontier (the stage-2 politeness rank doubles
         # as the within-host visit rank — see politeness_pick_ordem)
-        budgeted = with_robots(frontier, self.robots).withColumn("score", score_expr())
-        visits = (
-            fetchmod.with_fetch_lineage(
-                politeness_pick_ordem(budgeted, manifest["ordem_offset"],
-                                      salt_buckets=self.salt_buckets),
-                fail_pct=(
-                    fetchmod.host_fail_pct_expr(
-                        "host", self.flaky_share, self.flaky_fail_pct
-                    )
-                    if self.flaky_fetch
-                    else None
-                ),
+        with job_group(spark.sparkContext, "pick_ordem"):
+            budgeted = with_robots(frontier, self.robots).withColumn("score", score_expr())
+            visits_plan = (
+                fetchmod.with_fetch_lineage(
+                    politeness_pick_ordem(budgeted, manifest["ordem_offset"],
+                                          salt_buckets=self.salt_buckets),
+                    fail_pct=(
+                        fetchmod.host_fail_pct_expr(
+                            "host", self.flaky_share, self.flaky_fail_pct
+                        )
+                        if self.flaky_fetch
+                        else None
+                    ),
+                )
+                .select(*FRONTIER_COLS, "score", "ordem",
+                        "fetch_attempts", "fetch_status", "backoff_total_s")
+                .withColumn("wave", F.lit(wave))
             )
-            .select(*FRONTIER_COLS, "score", "ordem",
-                    "fetch_attempts", "fetch_status", "backoff_total_s")
-            .withColumn("wave", F.lit(wave))
-            # one eager materialization: the payload thread, the visit-log
-            # write, and the links path all fan out from these rows without
-            # re-running the windows or the offsets join
-            .localCheckpoint(eager=True)
-        )
-        picked = visits
-        picked_n = picked.count()  # served from the checkpoint, no recompute
+            # ONE materialization: the visit-log write IS it. The payload
+            # thread and the links path re-read the written parquet (the
+            # runner's write-then-re-read doctrine), and the picked count
+            # comes from the parquet footers — the r2 flow's two eager
+            # localCheckpoints + count job (≈3-4 s of driver-latency-bound
+            # scheduling floor per wave, measured via perf.stage_attribution)
+            # collapse into the write.
+            vpath = self.store.write_wave(visits_plan, "visits", wave)
+            visits = spark.read.parquet(vpath)
+            picked = visits
+            picked_n = self.store.count_rows(vpath)  # footer, no job
         _step("pick_ordem")
         if picked_n == 0:  # stall guard (ref crawler/crawler.py:633-639 analog)
             manifest["frontier_rows"] = 0
@@ -267,57 +302,66 @@ class CrawlRunner:
 
             def _payload_job() -> None:
                 try:
-                    self._fetch_payload(fetched, wave)
+                    # group tag is thread-local (pinned py4j threads), so
+                    # the payload job stays attributable under overlap
+                    with job_group(spark.sparkContext, "payload_fetch"):
+                        self._fetch_payload(fetched, wave)
                 except BaseException as e:  # surfaced after join()
                     payload_err.append(e)
 
             payload_thread = threading.Thread(target=_payload_job, daemon=True)
             payload_thread.start()
 
-        self.store.write_wave(visits, "visits", wave)
-        _step("visits_write")
-
         # 5. discovered links, first-fetcher attribution, seen-filter, robots
-        links = (
-            fetched.select(
-                F.explode_outer("out_links").alias("url"),
-                F.col("depth").alias("parent_depth"),
-                F.col("ordem").alias("parent_ordem"),
+        with job_group(spark.sparkContext, "links_seen"):
+            links = (
+                fetched.select(
+                    F.explode_outer("out_links").alias("url"),
+                    F.col("depth").alias("parent_depth"),
+                    F.col("ordem").alias("parent_ordem"),
+                )
+                .filter(F.col("url").isNotNull())
+                .groupBy("url")
+                .agg(F.min_by("parent_depth", "parent_ordem").alias("parent_depth"))
             )
-            .filter(F.col("url").isNotNull())
-            .groupBy("url")
-            .agg(F.min_by("parent_depth", "parent_ordem").alias("parent_depth"))
-        )
-        seen = self._seen_df(wave - 1)
-        seen_rows = manifest.get("seen_rows")
-        new_links = seenmod.filter_unseen(
-            links,
-            seen,
-            "url",
-            self._bloom_bits if self.use_bloom else None,
-            self._bloom_k,
-            broadcast_seen=(seen_rows is not None and seen_rows <= self.seen_broadcast_rows),
-        )
-        discovered = with_robots(
-            new_links.select(
+            seen = self._seen_df(wave - 1)
+            seen_rows = manifest.get("seen_rows")
+            # broadcast hint is BYTE budgeted: est. serialized size of the
+            # seen set (rows × measured avg url length + per-row overhead)
+            # must fit the MB budget — row counts alone ignore key width
+            est_mb = (
+                (seen_rows * (manifest.get("avg_url_bytes", 80.0) + 20.0)) / 1e6
+                if seen_rows is not None
+                else None
+            )
+            new_links = seenmod.filter_unseen(
+                links,
+                seen,
                 "url",
-                F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1).alias("host"),
-                (F.col("parent_depth") + 1).alias("depth"),
-            ),
-            self.robots,
-        ).select(
-            "url",
-            "host",
-            "depth",
-            F.lit(wave + 1).alias("discovered_wave"),
-            salient_expr().alias("salient"),
-            "robots_ok",
-            F.lit(wave).alias("wave"),
-        )
-        dpath = self.store.write_wave(discovered, "discovered", wave)
-        discovered = spark.read.parquet(dpath)
-        if manifest.get("seen_rows") is not None:
-            manifest["seen_rows"] += self.store.count_rows(dpath)  # footer, no job
+                self._bloom_bits if self.use_bloom else None,
+                self._bloom_k,
+                broadcast_seen=(est_mb is not None and est_mb <= self.seen_broadcast_mb),
+            )
+            discovered = with_robots(
+                new_links.select(
+                    "url",
+                    F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1).alias("host"),
+                    (F.col("parent_depth") + 1).alias("depth"),
+                ),
+                self.robots,
+            ).select(
+                "url",
+                "host",
+                "depth",
+                F.lit(wave + 1).alias("discovered_wave"),
+                salient_expr().alias("salient"),
+                "robots_ok",
+                F.lit(wave).alias("wave"),
+            )
+            dpath = self.store.write_wave(discovered, "discovered", wave)
+            discovered = spark.read.parquet(dpath)
+            if manifest.get("seen_rows") is not None:
+                manifest["seen_rows"] += self.store.count_rows(dpath)  # footer, no job
         _step("links_anti_join")
 
         # Everything below depends only on the just-committed discovered
@@ -334,7 +378,8 @@ class CrawlRunner:
 
         def _bloom_job() -> None:
             try:
-                self._bloom_add(discovered, wave)
+                with job_group(spark.sparkContext, "bloom_update"):
+                    self._bloom_add(discovered, wave)
             except BaseException as e:
                 side_err.append(e)
 
@@ -344,6 +389,7 @@ class CrawlRunner:
             # per host per wave, as a queryable parquet table instead of a
             # Prometheus endpoint)
             try:
+                spark.sparkContext.setJobGroup("metrics", "metrics")
                 met = picked.groupBy("host").agg(
                     F.count(F.lit(1)).alias("requests_total"),
                     F.sum("fetch_attempts").alias("fetch_attempts_total"),
@@ -374,6 +420,7 @@ class CrawlRunner:
         def _frontier_job() -> None:
             # 7. next frontier = old − picked + discovered∧allowed
             try:
+                spark.sparkContext.setJobGroup("frontier_write", "frontier_write")
                 frontier_next = (
                     frontier.join(picked.select("url"), "url", "left_anti")
                     .select(*FRONTIER_COLS)
