@@ -3,9 +3,11 @@
 All candidate generation is JVM-side (hash/array expressions + shuffles
 on band keys); no per-row Python anywhere except the blocked-GEMM
 embedding join, whose per-task work is one numpy matrix multiply over
-an Arrow batch. Exact verification counts shared shingles through an
-equi-join (``_shared_count_verify``) — never a per-pair array
-intersection in the hot path.
+an Arrow batch. Exact verification (``_shared_count_verify``) joins the
+per-doc distinct-shingle hash arrays onto the (already filtered)
+candidate pairs and takes ``array_intersect`` sizes — linear per pair,
+and only over pairs that survived banding/prefix filtering (the
+unfiltered all-pairs cross never materializes anywhere).
 
 Scale notes (10^11-document corpora):
 * exact/fingerprint dedup — one shuffle on an 8/16-byte key;
@@ -74,15 +76,34 @@ def shingle_hashes(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
     tasks (measured ~7 s single-threaded at sf0.1 vs spread across cores).
     """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    return (
-        df.repartition(n_parts)
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(shingles(text_col, shingle_k))).alias("_s"),
-        )
-        .withColumn("_h", F.xxhash64("_s"))
-        .select(id_col, "_h")
+    # hash each token ONCE, then a shingle hash combines k consecutive
+    # token hashes (xxhash64 is variadic) — vs building every k-gram as
+    # a joined string and hashing that (r2): the string path materializes
+    # ~k× the document text in slice+array_join temporaries and was the
+    # single most expensive stage of the dedup family (measured 74
+    # core-s at sf0.1, >half the q33 budget). Token sequences map 1:1 to
+    # hash tuples (whitespace tokens can't contain the join character),
+    # so distinct-shingle sets — and every Jaccard value downstream —
+    # are unchanged.
+    # the token-hash array is materialized behind a Generate node
+    # (explode of a 1-element array): CollapseProject inlines plain
+    # projections into lambda bodies, and an inlined array expression
+    # re-evaluates per element_at — measured O(tokens²) (~8× the string
+    # path, the opposite of the intent). A generator is a projection
+    # barrier, so ``_th`` is computed exactly once per document.
+    toks = F.transform(ws_tokens(text_col), lambda x: F.xxhash64(F.lower(x)))
+    base = df.repartition(n_parts).select(
+        F.col(id_col), F.explode(F.array(toks)).alias("_th")
     )
+    n = F.size("_th")
+    idx = F.sequence(F.lit(1), F.greatest(n - (shingle_k - 1), F.lit(1)))
+    sh = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            *[F.try_element_at(F.col("_th"), i + j) for j in range(shingle_k)]
+        ),
+    )
+    return base.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("_h"))
 
 
 def minhash_signature(
@@ -154,34 +175,33 @@ def lsh_candidate_pairs(
 
 
 def _shared_count_verify(
-    cand: DataFrame, sh: DataFrame, sizes: DataFrame, id_col: str
+    cand: DataFrame, sh: DataFrame, id_col: str
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs from the shared-shingle COUNT.
+    """Exact Jaccard for candidate pairs via per-pair set intersection.
 
-    Each distinct shingle both docs contain contributes exactly one row
-    to the (id_a-join → id_b-join, hash-equal) chain, so
-    J = shared / (|A| + |B| − shared) with no per-pair array arithmetic.
-    Pairs sharing zero shingles drop out of the inner join — they have
-    J = 0 and can't pass any positive threshold.
+    Each doc's distinct-shingle hash array (collected once from the
+    cached substrate) is joined onto the candidate pair and
+    ``array_intersect`` gives |A∩B|, so J = shared / (|A|+|B|−shared).
+    Per-pair cost is a linear hash intersect of two doc-sized arrays —
+    bounded because the caller's banding/prefix filter already shrank
+    the pair set; the r2 shape (pair→shingle-row fan-out joins) moved
+    Σ|A| rows per pair through two shuffles and AQE sized its
+    partitions on the pre-fan-out bytes (measured 111 core-s in 3-32
+    tasks at sf0.1 — the q33 budget). The array join sides are doc-count
+    rows (not substrate rows); AQE broadcasts them when small, and at
+    larger scale they hash-join on the id — same plan, no broadcast.
     """
-    # unique names on the B side: both sides descend from the same `sh` plan,
-    # and Spark's self-join resolution can silently bind a same-named column
-    # reference to the wrong side (turning the equi-join into a blow-up), so
-    # nothing here shares a name across the join
-    a = sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_h", "_ha")
-    b = sh.withColumnRenamed(id_col, "_idb").withColumnRenamed("_h", "_hb")
-    # hash equality is part of the equi-join key (not a post-filter), so the
-    # B-side join emits only matching shingles — |A∩B| rows per pair, never
-    # the |A|·|B| cross
-    shared = (
-        cand.join(a, "id_a")
-        .join(b, (F.col("id_b") == F.col("_idb")) & (F.col("_ha") == F.col("_hb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_shared"))
+    arrs = sh.groupBy(id_col).agg(F.collect_list("_h").alias("_hs"))
+    a = arrs.select(
+        F.col(id_col).alias("_ida"), F.col("_hs").alias("_ha"), F.size("_hs").alias("_na")
+    )
+    b = arrs.select(
+        F.col(id_col).alias("_idb"), F.col("_hs").alias("_hb"), F.size("_hs").alias("_nb")
     )
     return (
-        shared.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_n", "_na"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_n", "_nb"), "id_b")
+        cand.join(a, F.col("id_a") == F.col("_ida"))
+        .join(b, F.col("id_b") == F.col("_idb"))
+        .withColumn("_shared", F.size(F.array_intersect("_ha", "_hb")))
         .withColumn(
             "jaccard",
             F.col("_shared").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_shared")),
@@ -210,11 +230,10 @@ def dedup_minhash_lsh(
     """
     sh = shingle_hashes(df, text_col, id_col, shingle_k).persist()
     try:
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
         sig = _minhash_from_hashes(sh, id_col, num_hashes)
         cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
         out = (
-            _shared_count_verify(cand, sh, sizes, id_col)
+            _shared_count_verify(cand, sh, id_col)
             .filter(F.col("jaccard") >= threshold)
             .localCheckpoint(eager=True)
         )
@@ -247,20 +266,28 @@ def ngram_jaccard_pairs(
     The shingle substrate is cached once and released before returning
     (eager ``localCheckpoint`` on the small pair set — no leaked persist).
     """
-    from pyspark.sql import Window
-
     sh = shingle_hashes(df, text_col, id_col, shingle_k).persist()
     try:
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"))
         dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
-        w = Window.partitionBy(id_col).orderBy("_df", "_h")
-        prefix = (
+        # one per-doc aggregation replaces r2's window chain (row_number
+        # over a (doc) sort + separate sizes agg + sizes join — three
+        # extra shuffles/sorts of the full substrate): collect each
+        # doc's (df, hash) pairs, sort in-row, slice the prefix. The
+        # doc-size count and the prefix fall out of the same array.
+        docagg = (
             sh.join(dfreq, "_h")
-            .withColumn("_rn", F.row_number().over(w))
-            .join(sizes, id_col)
-            .filter(F.col("_rn") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1)
-            .select(id_col, "_h")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_arr"))
+            .withColumn("_n", F.size("_arr"))
+            .withColumn(
+                "_plen",
+                (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int"),
+            )
         )
+        prefix = docagg.select(
+            F.col(id_col),
+            F.explode(F.slice("_arr", F.lit(1), F.col("_plen"))).alias("_e"),
+        ).select(id_col, F.col("_e._h").alias("_h"))
         a, b = prefix.alias("a"), prefix.alias("b")
         cand = (
             a.join(
@@ -272,7 +299,7 @@ def ngram_jaccard_pairs(
             .distinct()
         )
         out = (
-            _shared_count_verify(cand, sh, sizes, id_col)
+            _shared_count_verify(cand, sh, id_col)
             .filter(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard")
             .localCheckpoint(eager=True)

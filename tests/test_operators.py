@@ -204,3 +204,32 @@ def test_lsh_topk_subset_of_exact(spark, sf_dir):
     ap1 = {r["query_id"]: r["vec_id"] for r in approx.filter("rk=1").collect()}
     assert ex1 == {0: 0, 1: 1, 2: 2}
     assert ap1 == ex1  # query is in its own bucket → self-match survives
+
+
+def test_q31_oracle_recall_margin(spark, sf_dir):
+    """Guard for the q31 driver oracle's premise (ADVICE r2).
+
+    The oracle equates MinHash+LSH output with the EXACT Jaccard pair
+    set, which is sound only while every qualifying pair sits well
+    above the banding knee: with 8 bands x 4 rows the candidate
+    probability is 1-(1-J^4)^8 (~0.40 at J=0.5 but >0.985 at J>=0.8).
+    Assert (a) recall really is 100% on this corpus and (b) every
+    qualifying pair has J >= 0.8 - so a regenerated corpus that grows a
+    boundary pair fails HERE with a readable message instead of
+    flapping the driver's hash gate."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact_rows = dedup.ngram_jaccard_pairs(d, "text", "doc_id", 0.5).collect()
+    exact = {(r["id_a"], r["id_b"]) for r in exact_rows}
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.dedup_minhash_lsh(d, "text", "doc_id", threshold=0.5)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert lsh == exact, "LSH banding no longer recovers the exact pair set"
+    min_j = min(r["jaccard"] for r in exact_rows)
+    assert min_j >= 0.8, (
+        f"corpus grew a near-boundary pair (min J={min_j:.3f}): the q31 "
+        "oracle's exact-set premise is no longer safe - switch it to an "
+        "LSH-simulating oracle"
+    )
