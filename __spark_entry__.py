@@ -441,6 +441,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q30_emb_neardup"] = q30_emb_neardup
 
+    def q50_emb_neardup_ann(spark, sf):
+        # ANN-fronted near-dup (VERDICT r2 task 6): the corpus has no
+        # pairs above cosine ~0.6, so a high-threshold query over it
+        # alone would be vacuous — instead the query plants near-dups
+        # deterministically by unioning a negate-first-coordinate copy
+        # of every vector (an EXACT float op both engines reproduce
+        # bit-for-bit): pair (i, i+1000000) has cosine 1 − 2·x₀²/‖x‖²,
+        # typically ≈0.97. The oracle re-simulates the multi-table
+        # sign-LSH candidate front with hyperplane literals (q37
+        # pattern) + the exact-cosine verify, so the gate checks the
+        # whole ANN pipeline value-for-value — recall vs the exact pair
+        # set is asserted separately (tests/test_operators.py).
+        e = _t(spark, sf, "embeddings")
+        aug = e.select(
+            (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+            F.concat(
+                F.array(-F.element_at("embedding", 1)),
+                F.slice("embedding", 2, 1_000_000),
+            ).alias("embedding"),
+        )
+        allv = e.select("vec_id", "embedding").unionByName(aug)
+        return dedup.embedding_near_dup_pairs_ann(
+            allv, "embedding", "vec_id", threshold=0.8, dim=64, bits=8, tables=4
+        ).select("id_a", "id_b")
+
+    q["q50_emb_neardup_ann"] = q50_emb_neardup_ann
+
     def q46_emb_topk_ivf(spark, sf):
         # Sample-initialized quantizer (cells = embeddings of vec_id<8):
         # SQL-replicable, so the oracle re-runs the ENTIRE IVF algorithm
@@ -1015,6 +1042,48 @@ def oracle_sql() -> dict[str, str]:
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+    """
+
+    # q50: full independent simulation of the ANN-fronted near-dup — the
+    # augmented corpus (negate-first-coordinate copies), all 4 tables'
+    # seeded hyperplanes as literals, per-table bucket equi-joins
+    # (unioned, NOT an OR-join: DuckDB would nested-loop an OR), then
+    # the exact-cosine verify at the same threshold.
+    from crawler_tjce_spark.operators.similarity import hyperplanes as _hp50
+
+    def _bkt50(t: int) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product(e, [{', '.join(repr(float(x)) for x in p)}]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END"
+            for i, p in enumerate(_hp50(64, 8, seed=42 + t))
+        )
+
+    _tbl_joins = "\n          UNION\n".join(
+        f"          SELECT a.vec_id AS ia, t.vec_id AS ib FROM b a "
+        f"JOIN b t ON a.b{t} = t.b{t} AND a.vec_id < t.vec_id"
+        for t in range(4)
+    )
+    o["q50_emb_neardup_ann"] = f"""
+        WITH base AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+          UNION ALL
+          SELECT vec_id + 1000000, list_prepend(-e[1], e[2:])
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        ), b AS (
+          SELECT vec_id, e,
+                 ({_bkt50(0)}) AS b0,
+                 ({_bkt50(1)}) AS b1,
+                 ({_bkt50(2)}) AS b2,
+                 ({_bkt50(3)}) AS b3
+          FROM base
+        ), cand AS (
+{_tbl_joins}
+        )
+        SELECT DISTINCT c.ia AS id_a, c.ib AS id_b
+        FROM cand c
+        JOIN base x ON c.ia = x.vec_id
+        JOIN base y ON c.ib = y.vec_id
+        WHERE list_cosine_similarity(x.e, y.e) >= 0.8
     """
 
     # q31: the MinHash+LSH pipeline exact-verifies every candidate and its

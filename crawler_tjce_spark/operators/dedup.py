@@ -501,3 +501,69 @@ def embedding_near_dup_pairs(
     return exploded.groupBy("_task").applyInPandas(
         _gemm, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
     )
+
+
+def embedding_near_dup_pairs_ann(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    dim: int = 64,
+    bits: int = 8,
+    tables: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with cosine ≥ threshold — ANN front, exact verify.
+
+    The sub-quadratic path the exact blocked GEMM
+    (:func:`embedding_near_dup_pairs`) documents as its scale
+    alternative for high thresholds: ``tables`` independent sign-LSH
+    codes (``bits`` seeded hyperplanes each, seeds 42+t) bucket every
+    vector; candidates are same-(table, bucket) pairs unioned across
+    tables; every candidate is EXACT-cosine verified, so false
+    positives are impossible and the only approximation is recall.
+    P(candidate) = 1 − (1 − (1 − θ/π)^bits)^tables — at cosine 0.95
+    (θ≈18°) with 8 bits × 4 tables that is ≈0.97, rising toward 1 for
+    the near-1 cosines real near-dups have; the crossover vs the
+    blocked GEMM is wherever N·tables bucket rows beat N·B block rows
+    (B = N/block_rows), i.e. everywhere beyond ~10⁶ vectors.
+
+    Shuffle shape: one explode (×tables) + equi-join on the (table,
+    bucket) struct + distinct + two id-joins for the verify — no
+    quadratic task grid, no broadcast of the vector table.
+    """
+    from crawler_tjce_spark.operators.similarity import (
+        _dot,
+        _norm,
+        hyperplanes,
+        lsh_bucket_expr,
+    )
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    codes = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket_expr("_v", hyperplanes(dim, bits, seed=42 + t)).alias("b"),
+            )
+            for t in range(tables)
+        ]
+    )
+    tagged = v.select("_id", F.explode(codes).alias("_tb"))
+    a = tagged.select(F.col("_id").alias("id_a"), F.col("_tb").alias("_tba"))
+    b = tagged.select(F.col("_id").alias("id_b"), F.col("_tb").alias("_tbb"))
+    cand = (
+        a.join(b, (F.col("_tba") == F.col("_tbb")) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb"))
+    cos = _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+    return (
+        cand.join(va, F.col("id_a") == F.col("_ida"))
+        .join(vb, F.col("id_b") == F.col("_idb"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -205,6 +205,11 @@ def coerce(value: Any, field_type: str) -> Any:
     return s if s and s.lower() != "none" else "-"
 
 
+# short-C sentinel for pagamentos semantics: a third state distinct from
+# None (type default) and from any wire value (see decode_page)
+_DASH = object()
+
+
 def _base_name(descriptor_name: str | None) -> str:
     """``Sum(tbl.col)`` → ``col`` (ref ``_get_base_field_name``)."""
     if not descriptor_name:
@@ -287,11 +292,17 @@ def decode_page(
                 continue  # inherit previous value
             if ci >= len(c):
                 # short C: precatórios keep the inherited value
-                # (crawler.py fallback); pagamentos assign the DEFAULT
-                # (pagamentos_crawler.py:580-583) — verified against the
-                # production CSV's blank runs
+                # (crawler.py fallback); pagamentos assign a literal "-"
+                # (pagamentos_crawler.py:578-580 bypasses the formatter!)
+                # which INHERITS forward and renders as an EMPTY CSV cell
+                # even for money columns — distinct from a decoded zero
+                # ("R$ 0,00") and from the first-row type default
+                # (numeric 0 → Decimal → "R$ 0,00"). The _DASH sentinel
+                # carries that third state; typed columns surface it as
+                # NULL. Verified against the production CSV's blank runs
+                # (rows 5-7: money cells empty, not R$ 0,00).
                 if pagamentos_semantics:
-                    raw[col] = None
+                    raw[col] = _DASH
                 continue
             wire = c[ci]
             ci += 1
@@ -323,6 +334,12 @@ def decode_page(
         out = {}
         for col, (csv_f, typ) in binding.items():
             v = raw[col]
+            if v is _DASH:
+                # short-C dash state (possibly inherited): numeric columns
+                # go NULL (artifact renders ""), strings keep the "-"
+                # placeholder (artifact renders "" via the writer)
+                out[csv_f] = None if typ in ("int", "float", "Decimal") else "-"
+                continue
             if collect_rejects:
                 if typ in ("int", "float", "Decimal") and isinstance(v, str):
                     s = v.replace("R$", "").strip()
@@ -488,6 +505,56 @@ def write_editais_csv(df: DataFrame, out_path: str) -> None:
         w.writeheader()
         for r in rows:
             w.writerow({k: r[k] for k in fieldnames})
+
+
+PAGAMENTO_CSV_FIELDS = [
+    "quantidade", "modalidade", "natureza", "exercicio", "data_protocolo",
+    "precatorio", "credor_beneficiario", "tipo", "data_pagamento", "cpf_cnpj",
+    "valor_bruto", "previdencia", "irrf", "honorarios",
+    "valor_bruto_contratual", "rra", "valor_liquido",
+]
+
+
+def write_pagamentos_csv(df: DataFrame, out_path: str) -> None:
+    """Reference-parity pagamentos artifact (17 columns,
+    ``crawler/pagamentos_crawler.py:665-710``): utf-8-sig + CRLF
+    (csv.DictWriter defaults), rows in crawl order (page, row), ``'-'``
+    placeholders rendered empty, the seven Decimal money columns →
+    ``R$ 1.234,56`` (``format_currency``, pagamentos_crawler.py:42-49 —
+    note the space after R$, unlike the editais wire strings), date
+    columns passed through as the wire's pre-formatted strings. Proven
+    byte-identical to the shared prefix of the reference's production
+    ``data/pagamentos_tjce.csv`` (golden test). Formatting runs as Spark
+    expressions; only the bounded final rows pass through the driver's
+    csv writer (single-artifact sink, like the reference's)."""
+    import csv as _csv
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from crawler_tjce_spark.functions.ptbr import format_currency_ptbr
+
+    money = {"valor_bruto", "previdencia", "irrf", "honorarios",
+             "valor_bruto_contratual", "rra", "valor_liquido"}
+
+    def _render(c: str):
+        if c in money:
+            return format_currency_ptbr(F.col(c).cast("double")).alias(c)
+        s_ = F.col(c).cast("string")
+        return F.when(s_ == "-", F.lit("")).otherwise(F.coalesce(s_, F.lit(""))).alias(c)
+
+    out = df.orderBy("page_id", "row_idx").select(
+        *[_render(c) for c in PAGAMENTO_CSV_FIELDS]
+    )
+    rows = out.collect()
+    d = _os.path.dirname(out_path)
+    if d:
+        _os.makedirs(d, exist_ok=True)
+    with open(out_path, "w", newline="", encoding="utf-8-sig") as f:
+        w = _csv.DictWriter(f, fieldnames=PAGAMENTO_CSV_FIELDS)
+        w.writeheader()
+        for r in rows:
+            w.writerow({k: r[k] for k in PAGAMENTO_CSV_FIELDS})
 
 
 def write_csv_ptbr(df: DataFrame, out_path: str) -> None:

@@ -62,3 +62,35 @@ def write_entities_csv(mapping: DataFrame, out_path: str) -> None:
         w.writerow([r["official_name"], r["slug"]])
     with open(out_path, "w", encoding="utf-8-sig", newline="") as f:
         f.write(buf.getvalue())
+
+
+def write_entities_list_csv(names: DataFrame, out_path: str,
+                            name_col: str = "official_name") -> None:
+    """Reference-LAYOUT entities artifact: single ``entidade`` column.
+
+    Byte-parity target is ``data/entidades_tjce.csv`` (written by
+    ``schemas/entity_mapping_crawler.py:284-310`` from the raw fetched
+    list): utf-8-sig BOM, header ``entidade``, the raw entries INCLUDING
+    the ``--- Selecione a Entidade`` placeholder (the reference saves
+    the list before filtering it for the mapping), codepoint-sorted,
+    CRLF line endings (csv.writer defaults, like the reference). The
+    two-column ``official_name,slug`` mapping file
+    (:func:`write_entities_csv`) is this engine's own derived dimension
+    artifact; this writer reproduces the reference's bytes.
+    """
+    import csv
+    import os
+
+    rows = (
+        names.select(F.trim(F.col(name_col)).alias("entidade"))
+        .filter(F.col("entidade").isNotNull() & (F.col("entidade") != ""))
+        .distinct()
+        .orderBy("entidade")  # UTF8_BINARY collation == Python codepoint sort
+        .collect()
+    )
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w", encoding="utf-8-sig", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["entidade"])
+        for r in rows:
+            w.writerow([r["entidade"]])

@@ -233,3 +233,33 @@ def test_q31_oracle_recall_margin(spark, sf_dir):
         "oracle's exact-set premise is no longer safe - switch it to an "
         "LSH-simulating oracle"
     )
+
+
+def test_ann_neardup_recall_vs_exact(spark, sf_dir):
+    """Measured-recall note for the ANN-fronted near-dup (VERDICT r2
+    task 6): on the augmented corpus (planted negate-one-coordinate
+    near-dups, cosine mostly ≥0.9) the 8-bit x 4-table sign-LSH front +
+    exact verify must recover ≥95% of the exact blocked-GEMM pair set
+    at threshold 0.8, and every emitted pair must be in the exact set
+    (verify is exact, so precision is 1 by construction)."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    aug = e.selectExpr(
+        "vec_id + 1000000 AS vec_id",
+        "concat(array(-element_at(embedding, 1)), slice(embedding, 2, 100000)) AS embedding",
+    )
+    allv = e.select("vec_id", "embedding").unionByName(aug)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs(
+            allv, "embedding", "vec_id", threshold=0.8, block_rows=256
+        ).collect()
+    }
+    ann = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup_pairs_ann(
+            allv, "embedding", "vec_id", threshold=0.8, dim=64, bits=8, tables=4
+        ).collect()
+    }
+    assert ann <= exact  # no false positives, ever
+    recall = len(ann) / len(exact)
+    assert len(exact) > 0 and recall >= 0.95, (len(ann), len(exact))

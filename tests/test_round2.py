@@ -367,8 +367,13 @@ def test_pagamentos_fixture_matches_reference_crawl_output_prefix(spark):
         assert norm(got["cpf_cnpj"]) == rec["cpf_cnpj"], k
         assert norm(got["natureza"]) == rec["natureza"], k
         assert norm(got["modalidade"]) == rec["modalidade"], k
-        assert float(got["valor_bruto"]) == parse_number(rec["valor_bruto"]), k
-        assert float(got["valor_liquido"]) == parse_number(rec["valor_liquido"]), k
+        for fld in ("valor_bruto", "valor_liquido"):
+            if rec[fld] == "":
+                # reference's short-C "-" state renders empty (not R$ 0,00):
+                # the typed decode surfaces it as NULL
+                assert got[fld] is None, (k, fld)
+            else:
+                assert float(got[fld]) == parse_number(rec[fld]), (k, fld)
         matched += 1
     assert matched == 499
 
@@ -456,3 +461,49 @@ def test_prefix_filter_hot_shingle_bounded(spark):
     }
     assert got == exact and (10, 11) in got
     assert time.time() - t0 < 60  # bounded despite the 50%-hot shingle
+
+
+def test_pagamentos_csv_byte_parity_with_reference_artifact(spark, tmp_path):
+    """write_pagamentos_csv reproduces the reference's production
+    artifact BYTES on the shared prefix: decode the captured page-1
+    fixture (499 rows), write the 17-column CSV, compare byte-for-byte
+    against the header + first 499 data lines of
+    data/pagamentos_tjce.csv (the rest of the artifact came from pages
+    this fixture doesn't carry)."""
+    from crawler_tjce_spark.sources import dsr
+
+    payload = open("/root/reference/examples/response_pagamentos.json").read()
+    pages = spark.createDataFrame([(0, payload)], "page_id long, payload string")
+    decoded = dsr.decode_pages_df(spark, pages, table="pagamento")
+    out = str(tmp_path / "pagamentos.csv")
+    dsr.write_pagamentos_csv(decoded, out)
+    got = open(out, "rb").read()
+    ref = open("/root/reference/data/pagamentos_tjce.csv", "rb").read()
+    ref_prefix_lines = ref.split(b"\r\n")[:500]  # header + 499 data rows
+    got_lines = got.split(b"\r\n")
+    assert got_lines[0] == ref_prefix_lines[0]  # BOM + header byte-equal
+    mismatches = [
+        i for i, (a, b) in enumerate(zip(got_lines[:500], ref_prefix_lines)) if a != b
+    ]
+    assert mismatches == [], (mismatches[:3], got_lines[mismatches[0]] if mismatches else b"")
+    assert len(got_lines) == 501  # 499 rows + header + trailing CRLF split
+
+
+def test_entities_list_csv_byte_parity_with_reference_artifact(spark, tmp_path):
+    """write_entities_list_csv reproduces data/entidades_tjce.csv
+    byte-for-byte when fed the same raw entity list (parsed back from
+    the artifact, shuffled to prove the writer owns the ordering):
+    BOM, single `entidade` header, placeholder row retained,
+    codepoint sort, \\n line endings."""
+    import random
+
+    from crawler_tjce_spark.sources.entities import write_entities_list_csv
+
+    ref_bytes = open("/root/reference/data/entidades_tjce.csv", "rb").read()
+    names = ref_bytes.decode("utf-8-sig").splitlines()[1:]
+    names = [n for n in names if n != ""]
+    random.Random(7).shuffle(names)
+    df = spark.createDataFrame([(n,) for n in names], "official_name string")
+    out = str(tmp_path / "entidades.csv")
+    write_entities_list_csv(df, out)
+    assert open(out, "rb").read() == ref_bytes
