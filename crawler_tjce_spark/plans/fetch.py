@@ -125,3 +125,78 @@ def simulate_fetch(url: str, host_fail_pct: int, max_attempts: int = MAX_ATTEMPT
         if i < max_attempts:
             total += waits[i - 1]
     return max_attempts, "error", total
+
+
+# --------------------------------------------------------------- durations
+# The reference publishes request-duration histograms with buckets
+# 0.1-10 s per entity (metrics.py:10-15, prometheus Histogram). The
+# engine's analog derives a DETERMINISTIC per-request duration from the
+# same md5-probe machinery as the retry model, so the sequential
+# simulator (and any SQL oracle) reproduces every bucket count exactly:
+# attempt i on a url takes 0.08 + 0.02·probe(url#di) seconds
+# (0.08-2.06 s per attempt; a 3-attempt request spans up to ~6 s,
+# exercising every reference bucket). A real deployment replaces the
+# probe with measured wall times through the identical histogram plan.
+
+DURATION_BUCKETS = (0.1, 0.5, 1.0, 2.0, 5.0, 10.0)  # ref metrics.py:10-15
+
+
+def attempt_duration_expr(url_col: Column, attempt: int) -> Column:
+    return F.lit(0.08) + md5_probe_expr(
+        F.concat(url_col, F.lit(f"#d{attempt}"))
+    ).cast("double") * F.lit(0.02)
+
+
+def with_request_duration(
+    df: DataFrame,
+    url_col: str = "url",
+    attempts_col: str = "fetch_attempts",
+    max_attempts: int = MAX_ATTEMPTS,
+) -> DataFrame:
+    """Add ``request_duration_s``: the summed deterministic latency of
+    every attempt the retry lineage says this url consumed."""
+    u = F.col(url_col)
+    total: Column = F.lit(0.0)
+    for i in range(1, max_attempts + 1):
+        total = total + F.when(
+            F.col(attempts_col) >= i, attempt_duration_expr(u, i)
+        ).otherwise(F.lit(0.0))
+    return df.withColumn("request_duration_s", total)
+
+
+def simulate_request_duration(url: str, attempts: int) -> float:
+    """Python twin of :func:`with_request_duration` (same fold order,
+    so the double arithmetic is bit-identical)."""
+    total = 0.0
+    for i in range(1, attempts + 1):
+        total = total + (0.08 + md5_probe(f"{url}#d{i}") * 0.02)
+    return total
+
+
+def duration_histogram(
+    df: DataFrame,
+    host_col: str = "host",
+    duration_col: str = "request_duration_s",
+    buckets: tuple[float, ...] = DURATION_BUCKETS,
+) -> DataFrame:
+    """Prometheus-layout cumulative histogram per host: one row per
+    (host, le) with the CUMULATIVE ``bucket_count`` (le = +Inf row
+    carries the total), plus ``duration_sum`` repeated per host (the
+    _sum series). One explode + one map-side-combinable groupBy."""
+    entries = [
+        F.struct(
+            F.lit(float(b)).alias("le"),
+            F.when(F.col(duration_col) <= F.lit(float(b)), 1).otherwise(0).alias("hit"),
+        )
+        for b in buckets
+    ]
+    entries.append(F.struct(F.lit(float("inf")).alias("le"), F.lit(1).alias("hit")))
+    ex = df.select(
+        F.col(host_col).alias("host"),
+        F.col(duration_col).alias("_d"),
+        F.explode(F.array(*entries)).alias("b"),
+    )
+    return ex.groupBy("host", F.col("b.le").alias("le")).agg(
+        F.sum("b.hit").alias("bucket_count"),
+        F.sum("_d").alias("duration_sum"),
+    )

@@ -126,6 +126,18 @@ class CrawlRunner:
         self.seeds = spark.read.parquet(f"{world_dir}/seeds.parquet")
 
     # ------------------------------------------------------------------ state
+    def seen_broadcast_ok(self, seen_rows: int | None, avg_url_bytes: float) -> bool:
+        """Byte-budgeted broadcast hint: estimated serialized seen-set
+        size (rows × avg key length + per-row overhead) must fit the MB
+        budget. Row counts alone (r2) ignored key width; the real limits
+        — driver memory and Spark's 8 GB broadcast cap — are bytes. At
+        10^10 keys the estimate is ~TB, so the hint is structurally off
+        at the north-rule scale."""
+        if seen_rows is None:
+            return False
+        est_mb = seen_rows * (avg_url_bytes + 20.0) / 1e6
+        return est_mb <= self.seen_broadcast_mb
+
     def _seen_df(self, upto_wave: int) -> DataFrame:
         """seen = seeds ∪ discovered[wave ≤ upto_wave] (append-only)."""
         seen = self.seeds.select("url")
@@ -325,22 +337,15 @@ class CrawlRunner:
                 .agg(F.min_by("parent_depth", "parent_ordem").alias("parent_depth"))
             )
             seen = self._seen_df(wave - 1)
-            seen_rows = manifest.get("seen_rows")
-            # broadcast hint is BYTE budgeted: est. serialized size of the
-            # seen set (rows × measured avg url length + per-row overhead)
-            # must fit the MB budget — row counts alone ignore key width
-            est_mb = (
-                (seen_rows * (manifest.get("avg_url_bytes", 80.0) + 20.0)) / 1e6
-                if seen_rows is not None
-                else None
-            )
             new_links = seenmod.filter_unseen(
                 links,
                 seen,
                 "url",
                 self._bloom_bits if self.use_bloom else None,
                 self._bloom_k,
-                broadcast_seen=(est_mb is not None and est_mb <= self.seen_broadcast_mb),
+                broadcast_seen=self.seen_broadcast_ok(
+                    manifest.get("seen_rows"), manifest.get("avg_url_bytes", 80.0)
+                ),
             )
             discovered = with_robots(
                 new_links.select(
@@ -406,6 +411,14 @@ class CrawlRunner:
                     .localCheckpoint(eager=True)  # one compute, two consumers
                 )
                 self.store.write_wave(metrics_df, "metrics", wave)
+                # request-duration histogram analog (ref metrics.py:10-15:
+                # prometheus Histogram, buckets 0.1-10 s per entity) —
+                # cumulative per-host (le, count) rows from the
+                # deterministic duration model, verifiable against refsim
+                hist = fetchmod.duration_histogram(
+                    fetchmod.with_request_duration(picked)
+                ).withColumn("wave", F.lit(wave))
+                self.store.write_wave(hist, "duration_hist", wave)
                 totals_row = metrics_df.agg(
                     F.sum("requests_total").alias("requests_total"),
                     F.sum("fetch_attempts_total").alias("fetch_attempts_total"),

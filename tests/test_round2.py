@@ -507,3 +507,61 @@ def test_entities_list_csv_byte_parity_with_reference_artifact(spark, tmp_path):
     out = str(tmp_path / "entidades.csv")
     write_entities_list_csv(df, out)
     assert open(out, "rb").read() == ref_bytes
+
+
+def test_duration_histogram_matches_refsim(spark, world, tmp_path):
+    """The per-host request-duration histogram (ref metrics.py:10-15
+    analog: cumulative 0.1-10s buckets) written each wave must equal
+    the bucket counts computed from the sequential simulator's lineage
+    through the same deterministic duration model."""
+    import math
+
+    from crawler_tjce_spark.plans.fetch import (
+        DURATION_BUCKETS,
+        simulate_request_duration,
+    )
+
+    ref = refsim.simulate(world, max_waves=30, flaky_fetch=True,
+                          flaky_share=30, flaky_fail_pct=50)
+    store = str(tmp_path / "store_hist")
+    runner = CrawlRunner(spark, world, store, max_waves=30, bloom_expected=10_000,
+                         flaky_fetch=True, flaky_share=30, flaky_fail_pct=50)
+    runner.run(resume=False)
+    got = {
+        (r["host"], r["le"]): r["bucket_count"]
+        for r in runner.store.read_all_waves(spark, "duration_hist")
+        .groupBy("host", "le")
+        .agg(F.sum("bucket_count").alias("bucket_count"))
+        .collect()
+    }
+    expect: dict[tuple, int] = {}
+    les = [float(b) for b in DURATION_BUCKETS] + [math.inf]
+    for url, (attempts, _status, _b) in ref.fetch_lineage.items():
+        host = next(h for _, u, _, h in ref.visits if u == url)
+        d = simulate_request_duration(url, attempts)
+        for le in les:
+            if d <= le or le == math.inf:
+                expect[(host, le)] = expect.get((host, le), 0) + 1
+    # histogram rows exist for every (host, le) series, zero counts included
+    for (host, le), n in expect.items():
+        assert got.get((host, le), 0) == n, (host, le)
+    # non-vacuous: durations actually span multiple buckets
+    finite_totals = {le: 0 for le in les}
+    for (h, le), n in got.items():
+        finite_totals[le] = finite_totals.get(le, 0) + n
+    assert finite_totals[math.inf] == len(ref.fetch_lineage)
+    assert finite_totals[0.1] < finite_totals[2.0] < finite_totals[math.inf]
+
+
+def test_seen_broadcast_hint_is_byte_budgeted(spark, world, tmp_path):
+    """r2's row-count hint ignored key width; the hint must be a byte
+    estimate (rows x measured avg url length) against the MB budget,
+    and must disable itself at the 10^10-key story."""
+    runner = CrawlRunner(spark, world, str(tmp_path / "s"), seen_broadcast_mb=64)
+    assert runner.seen_broadcast_ok(100_000, 60.0)           # ~8 MB: on
+    assert not runner.seen_broadcast_ok(100_000, 2000.0)     # fat keys: off
+    assert not runner.seen_broadcast_ok(10_000_000_000, 60.0)  # 10^10: off
+    assert not runner.seen_broadcast_ok(None, 60.0)
+    # bootstrap measures the real avg url length into the manifest
+    m = runner.prepare(resume=False)
+    assert m["avg_url_bytes"] > 10
