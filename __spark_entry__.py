@@ -528,6 +528,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q47_fetch_lineage"] = q47_fetch_lineage
 
+    def q51_duration_hist(spark, sf):
+        # Request-duration histogram analog (ref metrics.py:10-15:
+        # prometheus buckets 0.1-10 s per entity): deterministic duration
+        # model over the q47 retry lineage, cumulative per-host (le,
+        # count) rows; the oracle recomputes probes, durations, and
+        # buckets independently in SQL.
+        from crawler_tjce_spark.plans import fetch as fetchmod
+
+        o = _t(spark, sf, "orders").select(
+            F.concat(
+                F.lit("https://h"),
+                F.pmod(F.col("o_orderkey"), F.lit(50)).cast("string"),
+                F.lit(".example/o/"),
+                F.col("o_orderkey").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("h"), F.pmod(F.col("o_orderkey"), F.lit(50)).cast("string"),
+                F.lit(".example"),
+            ).alias("host"),
+        )
+        lin = fetchmod.with_fetch_lineage(
+            o, fail_pct=fetchmod.host_fail_pct_expr("host", 20, 50)
+        )
+        return fetchmod.duration_histogram(
+            fetchmod.with_request_duration(lin)
+        ).select(
+            "host", "le",
+            F.col("bucket_count").cast("long").alias("bucket_count"),
+            F.round("duration_sum", 6).alias("duration_sum"),
+        )
+
+    q["q51_duration_hist"] = q51_duration_hist
+
     def q48_api_filters(spark, sf):
         # Reference API query semantics (main.py:698-739 apply_filters +
         # sort_rows) as the declarative plan layer in crawler_tjce_spark.api,
@@ -1272,6 +1305,62 @@ def oracle_sql() -> dict[str, str]:
                     THEN '-' ELSE trim(natureza_s) END AS natureza,
                round(CAST(valor_s AS DOUBLE), 2) AS valor_original
         FROM wide
+    """
+
+    # q51: independent duration-histogram simulation — same md5 probes,
+    # same per-attempt duration model (0.08 + 0.02·probe(url#di), left-
+    # associated sum so doubles are bit-identical), same cumulative
+    # prometheus buckets; the cross join against the bucket edges is the
+    # SQL twin of the Spark explode.
+    o["q51_duration_hist"] = """
+        WITH u AS (
+          SELECT 'https://h' || (o_orderkey % 50) || '.example/o/' || o_orderkey AS url,
+                 'h' || (o_orderkey % 50) || '.example' AS host
+          FROM orders
+        ), p AS (
+          SELECT url, host,
+                 CASE WHEN CAST('0x' || substr(md5(host), 1, 6) AS BIGINT) % 100 < 20
+                      THEN 50 ELSE 0 END AS pct
+          FROM u
+        ), f AS (
+          SELECT url, host,
+                 CAST('0x' || substr(md5(url || '#1'), 1, 6) AS BIGINT) % 100 < pct AS f1,
+                 CAST('0x' || substr(md5(url || '#2'), 1, 6) AS BIGINT) % 100 < pct AS f2
+          FROM p
+        ), a AS (
+          SELECT url, host,
+                 CASE WHEN NOT f1 THEN 1 WHEN NOT f2 THEN 2 ELSE 3 END AS att
+          FROM f
+        ), d AS (
+          -- every literal cast DOUBLE: DuckDB otherwise infers DECIMAL
+          -- arithmetic, which breaks bit-parity with Spark's doubles
+          SELECT host,
+                 (CAST(0.0 AS DOUBLE) + (CAST(0.08 AS DOUBLE)
+                   + CAST(CAST('0x' || substr(md5(url || '#d1'), 1, 6) AS BIGINT) % 100 AS DOUBLE)
+                     * CAST(0.02 AS DOUBLE)))
+                 + (CASE WHEN att >= 2
+                    THEN CAST(0.08 AS DOUBLE)
+                      + CAST(CAST('0x' || substr(md5(url || '#d2'), 1, 6) AS BIGINT) % 100 AS DOUBLE)
+                        * CAST(0.02 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END)
+                 + (CASE WHEN att >= 3
+                    THEN CAST(0.08 AS DOUBLE)
+                      + CAST(CAST('0x' || substr(md5(url || '#d3'), 1, 6) AS BIGINT) % 100 AS DOUBLE)
+                        * CAST(0.02 AS DOUBLE)
+                    ELSE CAST(0.0 AS DOUBLE) END) AS dur
+          FROM a
+        )
+        SELECT host, le,
+               CAST(sum(CASE WHEN le = CAST('infinity' AS DOUBLE) OR dur <= le
+                             THEN 1 ELSE 0 END) AS BIGINT) AS bucket_count,
+               CAST(round(sum(dur), 6) AS DOUBLE) AS duration_sum
+        FROM d CROSS JOIN (
+          VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+                 (CAST(1.0 AS DOUBLE)), (CAST(2.0 AS DOUBLE)),
+                 (CAST(5.0 AS DOUBLE)), (CAST(10.0 AS DOUBLE)),
+                 (CAST('infinity' AS DOUBLE))
+        ) b(le)
+        GROUP BY host, le
     """
 
     o["q48_api_filters"] = """

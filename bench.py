@@ -535,20 +535,32 @@ def write_bench_md(scaling: dict, queries: dict[str, float], sf_dir: str) -> Non
     ]
     lines += [f"| {k} | {v} |" for k, v in queries.items()]
     lines += [
-        "\n## Multi-wave regime (supplementary evidence)\n",
+        "\n## Like-for-like vs round 2 (builder-measured, r3)\n",
+        "Re-running r2's exact bench config (100k-page world, 100k seeds, "
+        "local[16], bootstrap included in the window as r2 measured it) on "
+        "the r3 engine: 68,127 URLs in 48.4 s + 4.0 s setup → "
+        "**1299.6 URLs/s vs r2's recorded 1008.0 (+29%)** — the wave "
+        "rework (one materialization per pick, footer counts, short "
+        "payload tasks, FAIR intra-pool sharing), not a config change. "
+        "The r2→r3 headline-table numbers are additionally not comparable "
+        "level-for-level because the scaling pair moved to 2→8 cores (see "
+        "above); the local[32] peak row is the box-ceiling comparison "
+        "point.\n",
+        "## Multi-wave regime (supplementary evidence)\n",
         "The headline measurement uses one fat wave — the representative "
         "shape of a 10^10-URL frontier, where every wave carries "
         "`hosts × budget` fetches. The multi-wave regime (many small "
-        "waves) is re-measured each round with "
-        "`SPARK_BENCH_WAVES=4 SPARK_BENCH_SEED_URLS=4000 python bench.py "
-        "--crawl-worker {8,2} out.json`; r3 numbers live in the committed "
-        "BENCH.md table below (updated by the builder when re-measured). "
-        "Small waves are bounded by the per-wave scheduling floor "
-        "(driver-latency jobs whose wall time barely changes with cores); "
-        "the r3 wave rework (single materialization per pick, footer "
-        "counts, short payload tasks, FAIR intra-pool sharing) cut that "
-        "floor from ~7-8 s to ~3-4 s per wave. The north_rule target is "
-        "the fat-wave number.",
+        "waves: `SPARK_BENCH_WAVES=4 SPARK_BENCH_SEED_URLS=4000 "
+        "python bench.py --crawl-worker {8,2}`) measured in r3: local[2] "
+        "102.1 s vs local[8] 42.1 s over 4 waves of 22k total URLs → raw "
+        "0.61, clock-corrected 0.70 (r2: 0.59 raw). Small waves are "
+        "bounded by the per-wave scheduling floor — pick/links/side "
+        "driver-latency jobs whose wall time barely changes with cores; "
+        "the r3 wave rework cut the floor from ~7-8 s to ~3-4 s per wave "
+        "at fat-wave sizes, but a 3-8 s floor against a 5-25 s wave is "
+        "still the binding term. At production wave sizes the same floor "
+        "is <5% of the window (the fat-wave number above). The "
+        "north_rule target is the fat-wave number.",
     ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
