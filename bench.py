@@ -551,16 +551,19 @@ def write_bench_md(scaling: dict, queries: dict[str, float], sf_dir: str) -> Non
         "shape of a 10^10-URL frontier, where every wave carries "
         "`hosts × budget` fetches. The multi-wave regime (many small "
         "waves: `SPARK_BENCH_WAVES=4 SPARK_BENCH_SEED_URLS=4000 "
-        "python bench.py --crawl-worker {8,2}`) measured in r3: local[2] "
-        "102.1 s vs local[8] 42.1 s over 4 waves of 22k total URLs → raw "
-        "0.61, clock-corrected 0.70 (r2: 0.59 raw). Small waves are "
-        "bounded by the per-wave scheduling floor — pick/links/side "
-        "driver-latency jobs whose wall time barely changes with cores; "
-        "the r3 wave rework cut the floor from ~7-8 s to ~3-4 s per wave "
-        "at fat-wave sizes, but a 3-8 s floor against a 5-25 s wave is "
-        "still the binding term. At production wave sizes the same floor "
-        "is <5% of the window (the fat-wave number above). The "
-        "north_rule target is the fat-wave number.",
+        "python bench.py --crawl-worker {8,2}`) measured in r3 AFTER the "
+        "cross-wave payload pipelining (wave N+1's scheduling/bookkeeping "
+        "runs under wave N's payload tail; manifest commits defer to the "
+        "payload join, so resume semantics are unchanged): local[8] "
+        "35.2-45.9 s and local[2] 102-124 s over 4 waves of 22k total "
+        "URLs → raw 0.62-0.88 across passes (the ±20-25% between-run "
+        "clock drift dominates raw at this short duration), "
+        "clock-corrected 0.70-0.75 — up from r2's 0.59. The remaining "
+        "gap is the per-wave floor: ~1-3 s of pick/links driver-latency "
+        "jobs per wave whose wall time barely changes with cores, "
+        "amortized exactly when waves are production-sized (<5% of the "
+        "fat-wave window above). The north_rule target is the fat-wave "
+        "number.",
     ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

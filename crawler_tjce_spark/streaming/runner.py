@@ -39,9 +39,14 @@ Per wave:
    matches the sequential simulator exactly), bloom-prefilter + exact
    anti-join against seen (broadcast hint while the seen set is small),
    split on robots;
-6. bloom update, per-host metrics table, and the next-frontier write
-   (old − picked + discovered∧allowed) run as three concurrent jobs;
-   join payload; commit manifest (+ snapshot log for time travel).
+6. bloom update, per-host metrics + duration-histogram tables, and the
+   next-frontier write (old − picked + discovered∧allowed) run as three
+   concurrent jobs;
+7. the payload job PIPELINES ACROSS WAVES: it is joined at the NEXT
+   wave's start (or loop end), so wave N+1's scheduling/bookkeeping
+   runs under wave N's payload tail; wave N's manifest commit
+   (+ snapshot log for time travel) is deferred to that join, keeping
+   the resume invariant "a committed wave is fully on disk".
 
 Every wave's outputs are written then *re-read* before use: this
 truncates the logical plan (no unbounded lineage growth across waves)
@@ -117,6 +122,9 @@ class CrawlRunner:
         self.flaky_fail_pct = flaky_fail_pct
         self._bloom_bits: bytes | None = None
         self._bloom_k = 0
+        # cross-wave payload pipeline: (thread, err_list, wave) of the
+        # in-flight payload job — see _drain_payload
+        self._payload_pending: tuple | None = None
 
         # cached: the fetch join reads pages twice per wave (links +
         # image refs). At real scale "pages" is the live web reached via
@@ -196,7 +204,41 @@ class CrawlRunner:
     def run_waves(self, manifest: dict) -> dict:
         while manifest["wave"] < self.max_waves and manifest["frontier_rows"] > 0:
             manifest = self._run_wave(manifest)
+        self._drain_payload(manifest)
         return manifest
+
+    def _drain_payload(self, manifest: dict) -> None:
+        """Join the previous wave's in-flight payload job and make that
+        wave's DEFERRED manifest commit.
+
+        The payload write is independent of the next wave's scheduling
+        and bookkeeping, so the wave loop PIPELINES it: wave N+1's pick/
+        links/frontier jobs run (FAIR pool) while wave N's payload is
+        still landing, and the join happens here — at wave N+1's start
+        or at loop end. Wave N's manifest commit waits for its payload
+        (resume correctness: a committed wave must be fully on disk);
+        a crash before the deferred commit simply replays wave N from
+        the previous commit — every wave write is an idempotent
+        overwrite, so recovery is recompute, never corruption."""
+        if self._payload_pending is None:
+            return
+        thread, err, pwave = self._payload_pending
+        t0 = time.time()
+        thread.join()
+        self._payload_pending = None
+        if err:
+            raise err[0]
+        # records_processed (ref metrics.py counter): payload rows of the
+        # drained wave, from parquet footers — no job
+        rows = self.store.count_rows(self.store.table_dir("payload", pwave))
+        for entry in reversed(manifest["metrics"]):
+            if entry["wave"] == pwave:
+                entry["counters"]["records_processed"] = rows
+                # the time the pipeline actually STALLED waiting for this
+                # payload (0.0 when the next wave's bookkeeping fully hid it)
+                entry["steps"]["payload_tail"] = round(time.time() - t0, 3)
+                break
+        self.store.commit(manifest)
 
     def run(self, resume: bool = True) -> dict:
         return self.run_waves(self.prepare(resume))
@@ -240,6 +282,9 @@ class CrawlRunner:
         return manifest
 
     def _run_wave(self, manifest: dict) -> dict:
+        # join the PREVIOUS wave's payload + make its deferred commit
+        # before mutating manifest state for this wave
+        self._drain_payload(manifest)
         t0 = time.time()
         wave = manifest["wave"]
         spark = self.spark
@@ -307,10 +352,10 @@ class CrawlRunner:
         # of small-data jobs, parallelism-independent) hides under the
         # payload stage instead of adding to it — the Amdahl term that owned
         # the round-1 scaling number.
-        payload_thread = None
-        payload_err: list[BaseException] = []
         if self.fetch_images:
             import threading
+
+            payload_err: list[BaseException] = []
 
             def _payload_job() -> None:
                 try:
@@ -318,11 +363,14 @@ class CrawlRunner:
                     # the payload job stays attributable under overlap
                     with job_group(spark.sparkContext, "payload_fetch"):
                         self._fetch_payload(fetched, wave)
-                except BaseException as e:  # surfaced after join()
+                except BaseException as e:  # surfaced at drain
                     payload_err.append(e)
 
             payload_thread = threading.Thread(target=_payload_job, daemon=True)
             payload_thread.start()
+            # drained at the NEXT wave's start (or loop end): the next
+            # wave's bookkeeping pipelines under this wave's payload
+            self._payload_pending = (payload_thread, payload_err, wave)
 
         # 5. discovered links, first-fetcher attribution, seen-filter, robots
         with job_group(spark.sparkContext, "links_seen"):
@@ -462,17 +510,6 @@ class CrawlRunner:
         frontier_rows = int(frontier_out["rows"])  # footer count, no job
         _step("side_jobs")
 
-        if payload_thread is not None:
-            payload_thread.join()
-            if payload_err:
-                raise payload_err[0]
-            # records_processed (ref metrics.py counter): payload rows this
-            # wave, from parquet footers — no job
-            counters["records_processed"] = self.store.count_rows(
-                self.store.table_dir("payload", wave)
-            )
-            _step("payload_tail")  # payload time NOT hidden by the other steps
-
         manifest.update(
             {
                 "wave": wave + 1,
@@ -491,7 +528,11 @@ class CrawlRunner:
                 "steps": steps,
             }
         )
-        self.store.commit(manifest)
+        if self._payload_pending is None:
+            # no in-flight payload → commit now; otherwise the commit is
+            # DEFERRED to _drain_payload so a committed wave is always
+            # fully on disk, payload included
+            self.store.commit(manifest)
         return manifest
 
     def _fetch_payload(self, fetched: DataFrame, wave: int) -> None:
