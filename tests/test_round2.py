@@ -565,3 +565,35 @@ def test_seen_broadcast_hint_is_byte_budgeted(spark, world, tmp_path):
     # bootstrap measures the real avg url length into the manifest
     m = runner.prepare(resume=False)
     assert m["avg_url_bytes"] > 10
+
+
+def test_pipelined_payload_crash_before_deferred_commit_replays(spark, world, tmp_path):
+    """r3 pipelines the payload across waves and DEFERS each wave's
+    manifest commit to the payload join. A crash in that window (wave
+    written, payload maybe landed, commit not made) must replay the
+    wave on resume and converge to the exact straight-through state."""
+    ref = refsim.simulate(world, max_waves=3)
+    store = str(tmp_path / "store_crash")
+    r1 = CrawlRunner(spark, world, store, max_waves=3, bloom_expected=10_000,
+                     fetch_images=True)
+    m = r1.prepare(resume=False)
+    m = r1._run_wave(m)  # launches wave-0 payload; commit deferred
+    assert r1._payload_pending is not None
+    # simulate the crash: thread may or may not have finished its write;
+    # the manifest on disk is still the bootstrap commit either way
+    r1._payload_pending[0].join()
+    assert r1.store.load_manifest()["wave"] == 0
+    # resume with a fresh runner: wave 0 replays (idempotent overwrite),
+    # then the crawl runs to completion
+    r2 = CrawlRunner(spark, world, store, max_waves=3, bloom_expected=10_000,
+                     fetch_images=True)
+    final = r2.run(resume=True)
+    got = sorted((r["ordem"], r["url"]) for r in r2.visits_df().select("ordem", "url").collect())
+    assert got == [(o, u) for o, u, _, _ in ref.visits]
+    # seen set converges too
+    assert {r["url"] for r in r2.seen_final_df().collect()} == ref.seen
+    # every committed wave has its payload rows on disk
+    import os as _os
+    for w in range(final["wave"]):
+        rows = r2.store.count_rows(r2.store.table_dir("payload", w))
+        assert rows > 0 or not _os.path.exists(r2.store.table_dir("payload", w))
