@@ -204,11 +204,16 @@ def crawl_worker(cores: int, out_path: str) -> None:
     spark = get_spark(app_name=f"bench_crawl_{cores}", cores=cores)
     # warm the JVM *and* the python UDF workers (numpy/pandas imports)
     # before the measured window — steady-state throughput is the metric
-    spark.range(1000).count()
-    from crawler_tjce_spark.datagen import generate_images_spark as _gen
+    from crawler_tjce_spark.perf import job_group
 
-    warm_ids = spark.range(int(cores) * 8).selectExpr("concat('warm-', id) AS image_id")
-    _gen(spark, warm_ids, octaves=4).count()
+    with job_group(spark.sparkContext, "warmup"):
+        spark.range(1000).count()
+        from crawler_tjce_spark.datagen import generate_images_spark as _gen
+
+        warm_ids = spark.range(int(cores) * 8).selectExpr(
+            "concat('warm-', id) AS image_id"
+        )
+        _gen(spark, warm_ids, octaves=4).count()
     runner = CrawlRunner(
         spark,
         BENCH_WORLD,
@@ -219,7 +224,10 @@ def crawl_worker(cores: int, out_path: str) -> None:
         image_size_scale=BENCH_IMG_SCALE,
         image_octaves=BENCH_IMG_OCTAVES,
     )
-    runner.pages.count()  # populate the pages cache outside the window
+    from crawler_tjce_spark.perf import job_group as _jg
+
+    with _jg(spark.sparkContext, "warmup"):
+        runner.pages.count()  # populate the pages cache outside the window
     # one-time setup (seed→frontier bootstrap, bloom init) runs OUTSIDE
     # the measured window: the metric is steady-state crawl throughput,
     # and a production crawl amortizes bootstrap over days of waves.
