@@ -9,7 +9,11 @@ Subcommands:
   snapshots  — list the snapshot log; --rollback-to for time travel
   visits-csv — export the visit log ordered by ordem
   decode     — decode DSR response JSON file(s) to a CSV
+               (--artifact writes the reference's production-CSV bytes)
   entities   — build the slug↔name entity dimension CSV from a column
+               (--layout reference writes the single-column artifact)
+  metrics    — export the store's per-host metrics + duration-histogram
+               tables to CSVs
 """
 
 from __future__ import annotations
@@ -59,12 +63,23 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--out", required=True)
     d.add_argument("--quarantine", action="store_true",
                    help="validate rows; write rejects to <out>_quarantine")
+    d.add_argument("--artifact", action="store_true",
+                   help="write the reference's production-CSV byte layout "
+                        "(editais/pagamentos writers; --out is one file)")
     d.add_argument("pages", nargs="+", help="DSR response JSON files")
 
     e = sub.add_parser("entities")
     e.add_argument("--parquet", required=True, help="input parquet with a name column")
     e.add_argument("--column", required=True)
     e.add_argument("--out", required=True)
+    e.add_argument("--layout", choices=["mapping", "reference"], default="mapping",
+                   help="mapping = official_name,slug dimension; reference = "
+                        "single-column entidade artifact (byte layout of "
+                        "data/entidades_tjce.csv)")
+
+    mt = sub.add_parser("metrics", help="export per-host metrics + duration histogram")
+    mt.add_argument("--store", required=True)
+    mt.add_argument("--out", required=True, help="output dir (two CSV subdirs)")
 
     args = p.parse_args(argv)
 
@@ -154,6 +169,15 @@ def main(argv: list[str] | None = None) -> int:
                     f"decoded {good.count()} rows to {args.out}; "
                     f"{quar.count()} quarantined to {args.out}_quarantine"
                 )
+            elif args.artifact:
+                out = dsr.decode_pages_df(spark, pages, table=args.table)
+                if args.table == "pagamento":
+                    dsr.write_pagamentos_csv(out, args.out)
+                elif args.table == "edital":
+                    dsr.write_editais_csv(out, args.out)
+                else:
+                    raise SystemExit("--artifact supports edital/pagamento tables")
+                print(f"artifact written to {args.out}")
             else:
                 out = dsr.decode_pages_df(spark, pages, table=args.table)
                 out.coalesce(1).write.mode("overwrite").option("header", True).csv(args.out)
@@ -169,9 +193,25 @@ def main(argv: list[str] | None = None) -> int:
             names = spark.read.parquet(args.parquet).select(
                 F.col(args.column).alias("official_name")
             )
-            mapping = build_entity_mapping(names)
-            write_entities_csv(mapping, args.out)
-            print(f"{mapping.count()} entities written to {args.out}")
+            if args.layout == "reference":
+                from crawler_tjce_spark.sources.entities import write_entities_list_csv
+
+                write_entities_list_csv(names, args.out)
+                print(f"reference-layout entity list written to {args.out}")
+            else:
+                mapping = build_entity_mapping(names)
+                write_entities_csv(mapping, args.out)
+                print(f"{mapping.count()} entities written to {args.out}")
+        elif args.cmd == "metrics":
+            from crawler_tjce_spark.sources.tableio import SnapshotStore
+
+            store = SnapshotStore(args.store)
+            for tbl in ("metrics", "duration_hist"):
+                df = store.read_all_waves(spark, tbl)
+                df.coalesce(1).write.mode("overwrite").option("header", True).csv(
+                    f"{args.out}/{tbl}"
+                )
+                print(f"{tbl}: {df.count()} rows to {args.out}/{tbl}")
     finally:
         spark.stop()
     return 0
