@@ -154,10 +154,19 @@ def lsh_candidate_pairs(
     banded = signatures.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("bb")
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    # skew guard: drop oversized buckets
-    sizes = banded.groupBy("band", "bkey").agg(F.count(F.lit(1)).alias("_n"))
-    banded = banded.join(
-        sizes.filter(F.col("_n") <= lsh_max_bucket).drop("_n"), ["band", "bkey"], "left_semi"
+    # skew guard: drop oversized buckets. A window count over the
+    # (band, bkey) partitioning instead of groupBy + left_semi (r2):
+    # the window's exchange hash-partitions banded exactly as the
+    # bucket self-join below requires, so Catalyst reuses the
+    # distribution and the guard costs ZERO extra shuffles (the
+    # aggregate+semi-join shape re-shuffled banded twice).
+    from pyspark.sql import Window
+
+    w_bucket = Window.partitionBy("band", "bkey")
+    banded = (
+        banded.withColumn("_n", F.count(F.lit(1)).over(w_bucket))
+        .filter(F.col("_n") <= lsh_max_bucket)
+        .drop("_n")
     )
     a = banded.alias("a")
     b = banded.alias("b")
