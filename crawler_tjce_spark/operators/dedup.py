@@ -200,7 +200,15 @@ def _shared_count_verify(
     rows (not substrate rows); AQE broadcasts them when small, and at
     larger scale they hash-join on the id — same plan, no broadcast.
     """
-    arrs = sh.groupBy(id_col).agg(F.collect_list("_h").alias("_hs"))
+    # explicit-count hash repartition: AQE sizes the collect_list
+    # exchange on its ~MB input and coalesces to a handful of tasks,
+    # but the agg builds every doc's array (measured 6+ core-s in 4
+    # tasks) — a user-specified partition count satisfies the groupBy's
+    # distribution and is never coalesced
+    n_parts = sh.sparkSession.sparkContext.defaultParallelism
+    arrs = sh.repartition(n_parts, id_col).groupBy(id_col).agg(
+        F.collect_list("_h").alias("_hs")
+    )
     a = arrs.select(
         F.col(id_col).alias("_ida"), F.col("_hs").alias("_ha"), F.size("_hs").alias("_na")
     )
