@@ -43,22 +43,34 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ===========================================================================
 
 def _frontier_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthetic frontier with PER-HOST budgets. Hosts are shaped
+    (``source-h<doc_id % 7>`` → ~140 hosts × ~3.6 rows at sf0.01, with
+    budgets of 2 or 5 depending on host-name length) so some hosts carry
+    fewer rows than their budget and some carry more — the oracle then
+    exercises BOTH branches of the fused pick's analytic
+    ``least(count, budget)`` offset (VERDICT r3 task 8)."""
+    host = F.concat(F.col("source"), F.lit("-h"), (F.col("doc_id") % 7).cast("int"))
     return docs.select(
         F.concat(F.lit("https://"), "source", F.lit(".example/p/"), F.col("doc_id")).alias("url"),
-        F.col("source").alias("host"),
+        host.alias("host"),
         F.col("n_chars").cast("int").alias("score"),
+        (F.lit(2) + F.length(host) % 4).cast("int").alias("host_budget"),
     )
 
 
 def q_frontier_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-host top-5 by (score desc, url asc) + global visit order —
-    the scheduler's core operator (SURVEY §2.5 W-added, ref politeness
-    budget config.py:43-55)."""
+    """The FUSED politeness pick + global ordem — the exact operator the
+    crawl runner ships (`plans/frontier.py:politeness_pick_ordem`): per-
+    host top-``budget`` by (score desc, url asc), cross-host offsets
+    computed analytically as least(host_count, budget) without
+    materializing the picked set, one lazy plan (SURVEY §2.5 W-added,
+    ref politeness budget config.py:43-55). Nonzero ordem_offset
+    exercises the resume path."""
+    from crawler_tjce_spark.plans.frontier import politeness_pick_ordem
+
     fr = _frontier_from_documents(_t(spark, sf_dir, "documents"))
-    picked = windows.group_topk(fr, ["host"], [F.desc("score"), F.col("url")], 5)
-    return windows.scalable_global_ordem(
-        picked, "host", [F.desc("score"), F.col("url")], name="ordem"
-    ).select("ordem", "url", "host", "score", F.col("rk").alias("host_rank"))
+    out = politeness_pick_ordem(fr, ordem_offset=1000, budget_col="host_budget")
+    return out.select("ordem", "url", "host", "score", "host_budget")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -72,6 +84,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+    # -- flagship FIRST: the driver records at most 50 entries in
+    # registration order, and in r3 the flagship (registered last, 51st)
+    # silently fell out of the correctness gate (VERDICT r3 missing #1).
+    q["q35_frontier_pick"] = q_frontier_pick
 
     # -- scans / filters / aggregates (SURVEY §2.1, §2.2, §2.4) -------------
     def q01_pushdown_agg(spark, sf):  # S1+P1+P2+A2: TPC-H Q1 shape
@@ -196,19 +213,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q10_fill_forward"] = q10_fill_forward
 
-    def q11_keyset_page(spark, sf):  # W3+S1: keyset pagination window
-        o = _t(spark, sf, "orders")
-        return (
-            o.filter(
-                (F.col("o_orderdate") > F.lit("1996-06-15"))
-                | ((F.col("o_orderdate") == F.lit("1996-06-15")) & (F.col("o_orderkey") > 100))
-            )
-            .orderBy("o_orderdate", "o_orderkey")
-            .limit(500)
-            .select("o_orderkey", "o_orderdate")
-        )
-
-    q["q11_keyset_page"] = q11_keyset_page
+    # (q11_keyset_page was retired in r4: its oracle SQL was byte-identical
+    # to q39_ir_keyset_scan's, which additionally exercises the IR
+    # translator — merged per VERDICT r3 task 1b to stay within the
+    # driver's 50-entry window with the flagship registered first.)
 
     def q36_sessionize(spark, sf):  # §2.9 analog: gap-based sessionization
         e = _t(spark, sf, "events")
@@ -788,8 +796,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q40_ir_group_agg"] = q40_ir_group_agg
 
-    # -- flagship -------------------------------------------------------------
-    q["q35_frontier_pick"] = q_frontier_pick
     return q
 
 
@@ -872,13 +878,6 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT event_id, user_id, ts,
                      CASE WHEN value < 0.2 THEN NULL ELSE value END AS v
               FROM events)
-    """
-
-    o["q11_keyset_page"] = """
-        SELECT o_orderkey, o_orderdate FROM orders
-        WHERE o_orderdate > TIMESTAMP '1996-06-15'
-           OR (o_orderdate = TIMESTAMP '1996-06-15' AND o_orderkey > 100)
-        ORDER BY o_orderdate, o_orderkey LIMIT 500
     """
 
     o["q36_sessionize"] = """
@@ -1485,19 +1484,30 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY l_returnflag
     """
 
+    # Fused politeness pick + analytic-offset ordem (the runner's exact
+    # operator, plans/frontier.py:politeness_pick_ordem): picked set is
+    # per-host top-budget by (score desc, url asc); ordem = 1000 (resume
+    # offset) + cumulative least(host_count, budget) offsets by host asc
+    # + within-host rank — equivalent, over the picked set, to a global
+    # row_number ordered by (host, score desc, url).
     o["q35_frontier_pick"] = """
         WITH fr AS (
           SELECT 'https://' || source || '.example/p/' || CAST(doc_id AS VARCHAR) AS url,
-                 source AS host, CAST(n_chars AS INT) AS score
+                 source || '-h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                 CAST(n_chars AS INT) AS score
           FROM documents
-        ), ranked AS (
+        ), fb AS (
           SELECT url, host, score,
-                 row_number() OVER (PARTITION BY host ORDER BY score DESC, url) AS host_rank
+                 CAST(2 + (length(host) % 4) AS INT) AS host_budget
           FROM fr
+        ), ranked AS (
+          SELECT url, host, score, host_budget,
+                 row_number() OVER (PARTITION BY host ORDER BY score DESC, url) AS rk
+          FROM fb
         )
-        SELECT row_number() OVER (ORDER BY host, score DESC, url) AS ordem,
-               url, host, score, host_rank
-        FROM ranked WHERE host_rank <= 5
+        SELECT 1000 + row_number() OVER (ORDER BY host, score DESC, url) AS ordem,
+               url, host, score, host_budget
+        FROM ranked WHERE rk <= host_budget
     """
 
     return o

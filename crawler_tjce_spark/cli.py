@@ -61,11 +61,14 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--table", choices=["precatorio", "edital", "pagamento"],
                    default="precatorio")
     d.add_argument("--out", required=True)
-    d.add_argument("--quarantine", action="store_true",
-                   help="validate rows; write rejects to <out>_quarantine")
-    d.add_argument("--artifact", action="store_true",
-                   help="write the reference's production-CSV byte layout "
-                        "(editais/pagamentos writers; --out is one file)")
+    # mutually exclusive: the if/elif handler used to silently ignore
+    # --artifact when --quarantine was also passed (ADVICE r3)
+    dmode = d.add_mutually_exclusive_group()
+    dmode.add_argument("--quarantine", action="store_true",
+                       help="validate rows; write rejects to <out>_quarantine")
+    dmode.add_argument("--artifact", action="store_true",
+                       help="write the reference's production-CSV byte layout "
+                            "(editais/pagamentos writers; --out is one file)")
     d.add_argument("pages", nargs="+", help="DSR response JSON files")
 
     e = sub.add_parser("entities")

@@ -66,6 +66,23 @@ def hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
+def assert_vec_dim(df: DataFrame, vec_col: str, dim: int, op: str) -> None:
+    """Fail fast when a caller-supplied ``dim`` doesn't match the data
+    (ADVICE r3). A mismatched ``dim`` makes every hyperplane dot product
+    NULL (``zip_with`` pads the shorter array with NULLs), so every sign
+    bit falls to the otherwise(0) branch and ALL vectors silently land
+    in bucket 0 of every table — the candidate join then degenerates to
+    the full O(N²) cross with no error or log (results stay correct via
+    the exact verify; the sub-quadratic scale story collapses). One
+    LIMIT-1 sampled row catches it for the cost of a single-row job
+    before any shuffle is planned."""
+    row = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+    if row and row[0]["n"] != dim:
+        raise ValueError(
+            f"{op}: dim={dim} does not match {vec_col!r} length {row[0]['n']}"
+        )
+
+
 def lsh_bucket_expr(vec_col: Column | str, planes: list[list[float]]) -> Column:
     """Sign-LSH bucket id: bit i = sign(v · plane_i), packed into a long."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
@@ -211,6 +228,7 @@ def cosine_topk_lsh(
     an 8-byte bucket id; recall is tuned by ``bits`` (fewer bits →
     bigger buckets → higher recall, more compute) or multi-probe.
     """
+    assert_vec_dim(vectors, vec_col, dim, "cosine_topk_lsh")
     planes = hyperplanes(dim, bits)
     v = vectors.select(id_col, vec_col).withColumn("_bkt", lsh_bucket_expr(vec_col, planes))
     q = F.broadcast(

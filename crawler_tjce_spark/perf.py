@@ -40,29 +40,55 @@ def job_group(sc: SparkContext, group: str, desc: str = "") -> Iterator[None]:
 
     Also routes the thread into the FAIR scheduler's default pool
     explicitly (the pool property is thread-local like the group tag).
-    """
+    Both the prior group tag and the prior pool are saved and RESTORED
+    on exit, so nested ``job_group`` blocks and jobs submitted after
+    the block attribute to the enclosing group (not to ``""`` —
+    ADVICE r3)."""
+    prev_id = sc.getLocalProperty("spark.jobGroup.id")
+    prev_desc = sc.getLocalProperty("spark.job.description")
+    prev_pool = sc.getLocalProperty("spark.scheduler.pool")
     sc.setJobGroup(group, desc or group)
+    sc.setLocalProperty("spark.scheduler.pool", "default")
     try:
         yield
     finally:
-        sc.setJobGroup("", "")
+        # setLocalProperty(key, None) clears the key, so an outermost
+        # block restores the true untagged state rather than group "".
+        sc.setLocalProperty("spark.jobGroup.id", prev_id)
+        sc.setLocalProperty("spark.job.description", prev_desc)
+        sc.setLocalProperty("spark.scheduler.pool", prev_pool)
 
 
 def _scala_seq(seq) -> list:
     return [seq.apply(i) for i in range(seq.size())]
 
 
-def stage_attribution(spark: SparkSession) -> dict[str, dict[str, float]]:
+def stage_attribution(spark: SparkSession) -> dict[str, dict[str, float]] | None:
     """Aggregate executor run/CPU time per job group.
 
     Returns ``{group: {"cpu_s": ..., "run_s": ..., "tasks": n,
-    "jobs": n, "stages": n}}``. Stages shared between jobs (skipped
-    re-use) are counted once, for the first job that ran them.
-    ``run_s`` is summed task run time (core-seconds actually occupied);
-    ``cpu_s`` is summed task CPU time — their gap is scheduler wait +
-    I/O + GC, and contention shows up as wall >> run_s/cores, which is
-    exactly the distinction the wall timers cannot make.
+    "jobs": n, "stages": n}}``, or ``None`` when the store is
+    unreadable. Stages shared between jobs (skipped re-use) are counted
+    once, for the first job that ran them. ``run_s`` is summed task run
+    time (core-seconds actually occupied); ``cpu_s`` is summed task CPU
+    time — their gap is scheduler wait + I/O + GC, and contention shows
+    up as wall >> run_s/cores, which is exactly the distinction the
+    wall timers cannot make.
+
+    The ``stageList`` call below hardcodes the **Spark 4.1** signature
+    of the private ``AppStatusStore.stageList`` (written and tested
+    against PySpark 4.1.2). It is an optional extra: any py4j/signature
+    error on a different Spark returns ``None`` so the caller's
+    measured timings still land (ADVICE r3 — a mismatch must not lose
+    the whole bench run).
     """
+    try:
+        return _stage_attribution_unsafe(spark)
+    except Exception:
+        return None
+
+
+def _stage_attribution_unsafe(spark: SparkSession) -> dict[str, dict[str, float]]:
     sc = spark.sparkContext
     jvm = sc._jvm
     gw = sc._gateway

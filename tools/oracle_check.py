@@ -22,6 +22,59 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+# The driver records at most this many queries() entries per round, in
+# registration order — in r3 the 51st (the flagship, registered last)
+# silently fell out of the correctness gate (VERDICT r3 missing #1).
+DRIVER_WINDOW = 50
+
+
+def completeness_report(repo: str = "/root/repo") -> tuple[list[str], list[str]]:
+    """Registration-contract self-check (VERDICT r3 task 2).
+
+    Returns (problems, warnings). Problems fail the suite:
+    * an ``oracle_sql()`` key with no ``queries()`` entry (dead oracle);
+    * a ``queries()`` entry with no oracle (this repo keeps full SQL
+      oracles for every query — a missing one is a regression to the
+      weaker rows-only gate);
+    * more than ``DRIVER_WINDOW`` registered queries (the overflow would
+      silently skip the driver gate).
+    Warnings (printed, non-fatal): any currently-registered query absent
+    from the latest recorded CORRECTNESS_r*.json — expected for queries
+    added since that round, but it is exactly the signal that was missed
+    in r3.
+    """
+    import glob
+    import json
+
+    import __spark_entry__ as entrymod
+
+    problems: list[str] = []
+    warnings: list[str] = []
+    qnames = list(entrymod.queries())
+    oracles = entrymod.oracle_sql()
+    dead = sorted(set(oracles) - set(qnames))
+    if dead:
+        problems.append(f"oracle_sql() keys with no queries() entry: {dead}")
+    weak = sorted(set(qnames) - set(oracles))
+    if weak:
+        problems.append(f"queries() entries with no oracle_sql(): {weak}")
+    if len(qnames) > DRIVER_WINDOW:
+        problems.append(
+            f"{len(qnames)} registered queries exceed the driver's "
+            f"{DRIVER_WINDOW}-entry window; beyond it: {qnames[DRIVER_WINDOW:]}"
+        )
+    recs = sorted(glob.glob(f"{repo}/CORRECTNESS_r*.json"))
+    if recs:
+        with open(recs[-1]) as f:
+            recorded = json.load(f)
+        absent = [n for n in qnames[:DRIVER_WINDOW] if n not in recorded]
+        if absent:
+            warnings.append(
+                f"registered but absent from {recs[-1].rsplit('/', 1)[-1]} "
+                f"(new since that round, or silently skipped): {absent}"
+            )
+    return problems, warnings
+
 
 def norm_val(v):
     if v is None:
@@ -48,6 +101,14 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+
+    problems, warnings = completeness_report()
+    for w in warnings:
+        print(f"WARN: {w}")
+    for p in problems:
+        print(f"CONTRACT FAIL: {p}")
+    if problems:
+        sys.exit(2)
 
     import __spark_entry__ as entrymod
     from crawler_tjce_spark.session import get_spark
