@@ -450,6 +450,12 @@ def _estimate_rows(df: DataFrame, vec_col: str) -> int:
         size = int(
             str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         )
+        # non-file relations (LocalRelation/LogicalRDD) report Catalyst's
+        # defaultSizeInBytes sentinel (~Long.MaxValue) — treat anything
+        # beyond 1 PiB as "no statistics" and pay the exact count rather
+        # than explode the block grid
+        if size >= 1 << 50:
+            return df.count()
         return max(1, size // (4 * dim))
     except Exception:
         return df.count()

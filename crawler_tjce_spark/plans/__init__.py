@@ -1,2 +1,3 @@
 """Crawl-scheduling plans: frontier scoring/picking, robots filtering,
-bloom-accelerated exact seen-set."""
+bloom- and cuckoo-accelerated exact seen-set (the cuckoo variant adds
+deletion — forced re-crawl / TTL eviction)."""

@@ -98,8 +98,13 @@ class CrawlRunner:
         flaky_fetch: bool = False,
         flaky_share: int = 10,
         flaky_fail_pct: int = 40,
+        adaptive_bookkeeping: bool = False,
     ):
         self.spark = spark
+        # True keeps the session's AQE setting for the crawl loop (see
+        # run_waves) — for deployments that want runtime skew-join
+        # re-planning on the links anti-join more than per-wave latency
+        self.adaptive_bookkeeping = adaptive_bookkeeping
         self.world_dir = world_dir
         self.store = SnapshotStore(store_root)
         self.max_waves = max_waves
@@ -153,12 +158,26 @@ class CrawlRunner:
         return est_mb <= self.seen_broadcast_mb
 
     def _seen_df(self, upto_wave: int) -> DataFrame:
-        """seen = seeds ∪ discovered[wave ≤ upto_wave] (append-only)."""
+        """seen = seeds ∪ discovered[wave ≤ upto_wave] (append-only).
+
+        Wave pruning happens at the PATH level (explicit ``w{N}`` dirs),
+        not by scanning ``w*`` and filtering the ``wave`` column. Two
+        reasons: (a) the row filter still listed and footer-read every
+        wave's files — including the wave currently being REPLAYED after
+        a crash, whose idempotent overwrite deletes the very files its
+        own input plan had listed (FAILED_READ_FILE; surfaced by the r4
+        AQE-off change, but a latent read-own-write-target overlap all
+        along); (b) at 10^5 waves this is source-level pruning instead
+        of 10^5 footer reads per seen-join."""
         seen = self.seeds.select("url")
-        ddir = self.store.table_dir("discovered")
-        if os.path.exists(ddir):
-            disc = self.store.read_all_waves(self.spark, "discovered")
-            seen = seen.unionByName(disc.filter(F.col("wave") <= upto_wave).select("url"))
+        paths = [
+            p
+            for w in range(0, upto_wave + 1)
+            if os.path.exists(p := self.store.table_dir("discovered", w))
+        ]
+        if paths:
+            disc = self.spark.read.parquet(*paths)
+            seen = seen.unionByName(disc.select("url"))
         return seen
 
     def _bloom_path(self, wave: int) -> str:
@@ -221,9 +240,26 @@ class CrawlRunner:
         return manifest
 
     def run_waves(self, manifest: dict) -> dict:
-        while manifest["wave"] < self.max_waves and manifest["frontier_rows"] > 0:
-            manifest = self._run_wave(manifest)
-        self._drain_payload(manifest)
+        # AQE off for the crawl loop (VERDICT r3 task 3 — the small-wave
+        # floor): every shuffle the runner plans is either tiny
+        # bookkeeping (pick windows, per-host aggs — where AQE's
+        # per-exchange query-stage materialization adds driver-latency
+        # round-trips that dominate a small wave) or already explicitly
+        # sized/salted against skew (the payload expansion pins
+        # round-robin parallelism precisely so AQE can't coalesce it).
+        # A 10^10-row deployment that wants AQE's skew-join handling on
+        # the links anti-join can leave it on via adaptive_bookkeeping.
+        prior = None
+        if not self.adaptive_bookkeeping:
+            prior = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            while manifest["wave"] < self.max_waves and manifest["frontier_rows"] > 0:
+                manifest = self._run_wave(manifest)
+            self._drain_payload(manifest)
+        finally:
+            if prior is not None:
+                self.spark.conf.set("spark.sql.adaptive.enabled", prior)
         return manifest
 
     def _drain_payload(self, manifest: dict) -> None:
@@ -461,6 +497,8 @@ class CrawlRunner:
             # per host per wave, as a queryable parquet table instead of a
             # Prometheus endpoint)
             try:
+                from pyspark.sql import Observation
+
                 spark.sparkContext.setJobGroup("metrics", "metrics")
                 met = picked.groupBy("host").agg(
                     F.count(F.lit(1)).alias("requests_total"),
@@ -475,7 +513,20 @@ class CrawlRunner:
                     met.join(links_m, "host", "full")
                     .na.fill(0)
                     .withColumn("wave", F.lit(wave))
-                    .localCheckpoint(eager=True)  # one compute, two consumers
+                )
+                # wave totals ride the metrics WRITE itself (Observation
+                # = accumulator-backed, zero extra job) — r3 ran an eager
+                # localCheckpoint + a separate totals collect here, two of
+                # the per-wave driver-latency jobs the small-wave regime
+                # pays for (VERDICT r3 task 3)
+                obs = Observation(f"metrics_totals_w{wave}")
+                metrics_df = metrics_df.observe(
+                    obs,
+                    F.sum("requests_total").alias("requests_total"),
+                    F.sum("fetch_attempts_total").alias("fetch_attempts_total"),
+                    F.sum("errors_fetch_total").alias("errors_fetch_total"),
+                    F.sum("retry_backoff_s_total").alias("retry_backoff_s_total"),
+                    F.sum("links_discovered_total").alias("links_discovered_total"),
                 )
                 self.store.write_wave(metrics_df, "metrics", wave)
                 # request-duration histogram analog (ref metrics.py:10-15:
@@ -486,14 +537,9 @@ class CrawlRunner:
                     fetchmod.with_request_duration(picked)
                 ).withColumn("wave", F.lit(wave))
                 self.store.write_wave(hist, "duration_hist", wave)
-                totals_row = metrics_df.agg(
-                    F.sum("requests_total").alias("requests_total"),
-                    F.sum("fetch_attempts_total").alias("fetch_attempts_total"),
-                    F.sum("errors_fetch_total").alias("errors_fetch_total"),
-                    F.sum("retry_backoff_s_total").alias("retry_backoff_s_total"),
-                    F.sum("links_discovered_total").alias("links_discovered_total"),
-                ).collect()[0]
-                counters.update({k: int(v) for k, v in totals_row.asDict().items()})
+                counters.update(
+                    {k: int(v or 0) for k, v in obs.get.items()}
+                )
             except BaseException as e:
                 side_err.append(e)
 
