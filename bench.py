@@ -636,6 +636,28 @@ def write_bench_md(scaling: dict, queries: dict[str, float], sf_dir: str,
         "than their N partner, which is exactly what the correction "
         "normalizes). The north_rule target remains the fat-wave "
         "number above.",
+        "\n## 20× world dry run (scale-up evidence, r4)\n",
+        "One documented pass at a 1M-page / 1024-host / 1M-seed world "
+        "(20× the standard bench world; `SPARK_BENCH_PAGES=1000000 "
+        "SPARK_BENCH_HOSTS=1024 SPARK_BENCH_SEED_URLS=1000000 python "
+        "bench.py --crawl-worker 32`): 676,276 URLs fetched in 302.7 s "
+        "(+9.2 s setup) → **2234 URLs/s — the box's best recorded "
+        "throughput, 1.2-1.6× the 50k-world peak**, because the fat "
+        "wave amortizes the per-wave floor exactly as the scaling "
+        "story predicts. Attribution: payload 8531 core-s over 299 "
+        "tasks (88% of 32×302.7 core-s — the engine keeps the box "
+        "payload-bound), links+seen 337 core-s (0.5 ms/URL, 4% of "
+        "payload), pick 39, metrics 13, frontier 9, bloom-init 1.1 "
+        "(2M-key array), bloom-update 0.3. 676k of 1M seeds picked = "
+        "the per-host politeness ceiling binding on hot hosts at scale "
+        "(hosts × budget caps the wave), the intended semantics. "
+        "Next-bottleneck class surfaced for r5: the links path "
+        "(explode→groupBy(url)→bloom→anti-join→robots) is the largest "
+        "non-payload consumer; at 10^8-URL waves its groupBy shuffle "
+        "is the first stage to need explicit partition sizing, and at "
+        "10^6+ hosts the pick's one-row-per-host offsets window needs "
+        "the documented range-partitioned two-pass form. Memory held "
+        "at 17 GiB of 126; payload landed ~3.5 GiB to tmpfs.",
     ]
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
