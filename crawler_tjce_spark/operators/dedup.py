@@ -424,6 +424,60 @@ def simhash_near_pairs(
     )
 
 
+def hash64_near_pairs(
+    df: DataFrame, hash_col: str, id_col: str, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by Hamming distance over ANY 64-bit
+    fingerprint column — e.g. the crawl payload's perceptual image hash
+    (``payload.phash64``: near-duplicate IMAGE detection across a
+    100 TB crawl without touching pixel bytes) or a rolling text
+    fingerprint (``functions/text.fingerprint64``).
+
+    Banding (pigeonhole, same family as :func:`simhash_near_pairs` but
+    parameterized): split the 64 bits into ``c`` equal chunks where
+    ``c`` is the smallest divisor of 64 with ``c ≥ max_hamming + 1``;
+    any pair within Hamming ≤ c−1 must agree exactly on ≥1 chunk, so
+    the per-chunk equi-join + exact ``bit_count(xor)`` verify is EXACT
+    over the fingerprint values — no recall loss, no parameter tuning.
+    Shuffle shape: one explode (×c) + an 8-byte-key equi-join; never
+    all-pairs. Skew note: a constant-chunk pileup (e.g. the all-zero
+    phash of blank images) self-joins quadratically — filter known
+    degenerate fingerprints upstream, as with any LSH bucket guard."""
+    c = next(d for d in (1, 2, 4, 8, 16, 32, 64) if d >= max_hamming + 1)
+    width = 64 // c
+    mask = (1 << width) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk"),
+                F.shiftright(F.col("_h64"), width * i)
+                .bitwiseAND(F.lit(mask))
+                .alias("ckey"),
+            )
+            for i in range(c)
+        ]
+    )
+    banded = df.select(id_col, F.col(hash_col).cast("long").alias("_h64")).select(
+        id_col, "_h64", F.explode(chunks).alias("c")
+    ).select(id_col, "_h64", F.col("c.chunk").alias("chunk"), F.col("c.ckey").alias("ckey"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(F.col("a._h64").bitwiseXOR(F.col("b._h64"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding near-duplicate
 # ---------------------------------------------------------------------------
