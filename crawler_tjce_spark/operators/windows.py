@@ -31,6 +31,7 @@ def scalable_global_ordem(
     partition_col: str,
     order_by: Sequence[Column | str],
     name: str = "ordem",
+    range_partition_offsets: bool = False,
 ) -> DataFrame:
     """Global sequence number without a single-task window.
 
@@ -39,18 +40,68 @@ def scalable_global_ordem(
     window over the *group* table, and broadcast-join the offsets back.
     Total order = (partition_col asc, order_by) — callers pick a
     partition column that is the leading sort key (e.g. ``wave``).
+
+    The offsets window runs over ONE ROW PER GROUP — fine to ~10^6
+    groups; beyond that set ``range_partition_offsets=True`` to use
+    :func:`scalable_prefix_offsets` (identical output, parallel bucket
+    prefix sums).
     """
     w_in = Window.partitionBy(partition_col).orderBy(*order_by)
     ranked = df.withColumn("_rn", F.row_number().over(w_in))
     counts = df.groupBy(partition_col).agg(F.count(F.lit(1)).alias("_cnt"))
-    w_off = Window.orderBy(partition_col).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).drop(
-        "_cnt"
-    )
+    if range_partition_offsets:
+        offsets = scalable_prefix_offsets(counts, partition_col)
+    else:
+        w_off = Window.orderBy(partition_col).rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.withColumn(
+            "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+        ).drop("_cnt")
     return (
         ranked.join(F.broadcast(offsets), partition_col)
         .withColumn(name, (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_rn", "_off")
+    )
+
+
+def scalable_prefix_offsets(
+    counts: DataFrame,
+    key_col: str,
+    cnt_col: str = "_cnt",
+    off_col: str = "_off",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Cumulative (exclusive) prefix sums over a one-row-per-key counts
+    table WITHOUT a single-task global window — the 10^6+-keys form of
+    the offsets step in :func:`scalable_global_ordem` /
+    ``plans.frontier.politeness_pick_ordem`` (their default
+    ``Window.orderBy(key)`` is fine while the key table is ~MBs; this
+    is the documented range-partitioned two-pass beyond that).
+
+    Pass 1: range-partition the keys into ``num_ranges`` ordered
+    buckets (RangePartitioner assigns ascending key ranges to ascending
+    partition ids) and prefix-sum WITHIN each bucket — parallel, task
+    size ~keys/num_ranges. Pass 2: prefix-sum the ≤num_ranges bucket
+    totals (a bounded, driver-sized window) and broadcast the bucket
+    base offsets back. Sampling-based range boundaries affect only the
+    bucket SPLIT, never the result."""
+    spark = counts.sparkSession
+    p = num_ranges or spark.sparkContext.defaultParallelism
+    parted = counts.repartitionByRange(p, F.col(key_col)).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_in = Window.partitionBy("_pid").orderBy(key_col).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    local = parted.withColumn("_loff", F.coalesce(F.sum(cnt_col).over(w_in), F.lit(0)))
+    totals = parted.groupBy("_pid").agg(F.sum(cnt_col).alias("_pt"))
+    w_p = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    base = totals.withColumn(
+        "_pbase", F.coalesce(F.sum("_pt").over(w_p), F.lit(0))
+    ).select("_pid", "_pbase")
+    return (
+        local.join(F.broadcast(base), "_pid")
+        .withColumn(off_col, (F.col("_loff") + F.col("_pbase")).cast("long"))
+        .select(key_col, off_col)
     )
 
 

@@ -75,6 +75,7 @@ def politeness_pick_ordem(
     ordem_offset: int,
     budget_col: str = "host_budget",
     salt_buckets: int = 16,
+    range_partition_offsets: bool = False,
 ) -> DataFrame:
     """Fused politeness pick + global ``ordem`` assignment — ONE job.
 
@@ -95,8 +96,12 @@ def politeness_pick_ordem(
 
     The offsets window (cumulative count ordered by host) runs on the
     per-host aggregate — one row per host. At 10^6+ hosts that single-
-    task window is still only ~MBs; beyond that, range-partition the
-    hosts and prefix-sum per range (same two-pass trick as ordem).
+    task window is still only ~MBs; beyond that pass
+    ``range_partition_offsets=True`` to compute the same offsets with
+    the range-partitioned two-pass prefix sum
+    (``operators.windows.scalable_prefix_offsets`` — parallel bucket
+    prefix sums + a bounded bucket-base window), byte-identical output
+    (equality pinned in tests/test_skew.py).
     """
     order = [F.desc("score"), F.col("url")]
     salted = frontier.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
@@ -113,10 +118,15 @@ def politeness_pick_ordem(
     counts = frontier.groupBy("host").agg(
         F.least(F.count(F.lit(1)), F.min(budget_col)).alias("_cnt")
     )
-    w_off = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))).drop(
-        "_cnt"
-    )
+    if range_partition_offsets:
+        from crawler_tjce_spark.operators.windows import scalable_prefix_offsets
+
+        offsets = scalable_prefix_offsets(counts, "host")
+    else:
+        w_off = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.withColumn(
+            "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
+        ).drop("_cnt")
     return (
         picked.join(F.broadcast(offsets), "host")
         .withColumn("ordem", (F.col("_off") + F.col("_r2") + F.lit(ordem_offset)).cast("long"))

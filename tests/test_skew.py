@@ -54,3 +54,41 @@ def test_hot_host_crawl_parity(spark, hot_world, tmp_path):
         .filter(F.col("n") > F.col("host_budget"))
     )
     assert over.count() == 0
+
+
+def test_range_partitioned_offsets_equal_single_window(spark):
+    """politeness_pick_ordem's two offsets modes are byte-identical —
+    the range-partitioned prefix sum is the drop-in 10^6+-hosts form of
+    the single-task counts window (many hosts, uneven sizes, budgets
+    both binding and slack)."""
+    from crawler_tjce_spark.plans.frontier import politeness_pick_ordem
+
+    rows = [
+        (
+            f"https://h{i % 211}.example/p/{i}",
+            f"h{i % 211}.example",
+            (i * 7919) % 1000,
+            2 + (i % 211) % 5,
+        )
+        for i in range(8000)
+    ]
+    fr = spark.createDataFrame(rows, "url string, host string, score int, host_budget int")
+    single = politeness_pick_ordem(fr, ordem_offset=100)
+    ranged = politeness_pick_ordem(fr, ordem_offset=100, range_partition_offsets=True)
+    a = sorted((r["ordem"], r["url"]) for r in single.collect())
+    b = sorted((r["ordem"], r["url"]) for r in ranged.collect())
+    assert a == b and len(a) > 0
+    # ordem is a dense 1..N sequence from the offset
+    assert [o for o, _ in a] == list(range(101, 101 + len(a)))
+
+
+def test_scalable_prefix_offsets_correct(spark):
+    from crawler_tjce_spark.operators.windows import scalable_prefix_offsets
+
+    rows = [(f"k{i:05d}", (i * 13) % 7 + 1) for i in range(997)]
+    counts = spark.createDataFrame(rows, "k string, _cnt long")
+    got = {r["k"]: r["_off"] for r in scalable_prefix_offsets(counts, "k").collect()}
+    run = 0
+    for k, c in sorted(rows):
+        assert got[k] == run, k
+        run += c
