@@ -252,18 +252,15 @@ class CrawlRunner:
         # driver-to-executor latency than local mode may find the
         # opposite, and the static-shuffle-partition sizing below is the
         # right companion setting there).
-        prior = prior_sp = None
+        prior = None
+        # _run_wave re-sizes spark.sql.shuffle.partitions per wave from
+        # the frontier's footer row count; always restore the session's
+        # setting when the loop exits so analytics queries on the same
+        # session keep their configuration.
+        prior_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
         if not self.adaptive_bookkeeping:
             prior = self.spark.conf.get("spark.sql.adaptive.enabled", "true")
             self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-            # with AQE's runtime coalescing off, size the static shuffle
-            # partition count to the actual parallelism: a 2-core run has
-            # no use for 32-task bookkeeping stages (scheduling overhead
-            # only), and a cluster run inherits its own defaultParallelism.
-            # The payload expansion repartitions explicitly, unaffected.
-            prior_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
-            wave_sp = max(2 * self.spark.sparkContext.defaultParallelism, 8)
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(wave_sp))
         try:
             while manifest["wave"] < self.max_waves and manifest["frontier_rows"] > 0:
                 manifest = self._run_wave(manifest)
@@ -368,6 +365,18 @@ class CrawlRunner:
             now = time.time()
             steps[name] = round(now - _last, 3)
             _last = now
+
+        # Size the static shuffle-partition ceiling to the wave (r4 20×
+        # dry-run follow-up): AQE coalesces DOWN from this number but
+        # never splits above it, so a 10^8-row frontier at the 32-task
+        # default would put ~3M rows in every links-groupBy/anti-join
+        # partition. Target ~1M frontier rows per partition, floored at
+        # 2×parallelism, capped at 10k tasks; frontier_rows comes from
+        # parquet footers (no job). The payload stage repartitions
+        # explicitly and is unaffected.
+        dp = spark.sparkContext.defaultParallelism
+        wave_sp = min(max(2 * dp, manifest["frontier_rows"] // 1_000_000), 10_000)
+        spark.conf.set("spark.sql.shuffle.partitions", str(wave_sp))
 
         frontier = spark.read.parquet(manifest["frontier_path"])
 

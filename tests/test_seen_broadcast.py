@@ -72,3 +72,18 @@ def test_runner_publishes_bloom_broadcast(spark, tmp_path):
     assert isinstance(runner._bloom_bc, Broadcast)
     assert runner._bloom_bc is not gen0  # updated blooms were re-published
     assert runner._bloom_bc.value == runner._bloom_bits
+
+
+def test_wave_shuffle_sizing_restored(spark, tmp_path):
+    """The runner sizes spark.sql.shuffle.partitions per wave from the
+    frontier's footer row count (AQE can only coalesce DOWN from the
+    static ceiling) and restores the session's setting on loop exit."""
+    from crawler_tjce_spark.datagen import WorldConfig, write_world
+    from crawler_tjce_spark.streaming.runner import CrawlRunner
+
+    world = str(tmp_path / "world_sp")
+    write_world(WorldConfig(n_hosts=3, n_pages=40, n_seeds=3), world)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    runner = CrawlRunner(spark, world, str(tmp_path / "store_sp"), max_waves=1)
+    runner.run(resume=False)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
