@@ -99,3 +99,52 @@ def test_overflow_raises(spark):
     h1, h2 = ck.hashes_for_urls(spark, _urls(0, 200))
     with pytest.raises(RuntimeError, match="capacity"):
         tiny.insert_hashed(h1, h2)
+
+
+def test_property_insert_delete_against_set_model(spark):
+    """Random insert/delete interleavings vs a Python-set model: a
+    present key must ALWAYS probe True (no false negatives, the crawl
+    invariant); after deleting every copy of a key it probes False
+    unless a distinct still-present key collides on (shard, fp, bucket)
+    — checked exactly. Deterministic seeds; numpy-only (no Spark jobs
+    beyond one hash batch)."""
+    import numpy as np
+
+    urls = [f"https://p{i % 13}.example/x/{i}" for i in range(300)]
+    h1, h2 = ck.hashes_for_urls(spark, urls)
+    rng = np.random.default_rng(1234)
+    for trial in range(5):
+        table = np.zeros((4, 128, ck.SLOTS), dtype=np.uint16)
+        cf = ck.CuckooFilter(table, shards=4, mask=127)
+        model: set[int] = set()
+        for _ in range(400):
+            i = int(rng.integers(len(urls)))
+            if i in model and rng.random() < 0.5:
+                assert cf.delete(h1[i:i + 1], h2[i:i + 1]) == 1
+                model.discard(i)
+            elif i not in model:
+                cf.insert_hashed(h1[i:i + 1], h2[i:i + 1])
+                model.add(i)
+        present = sorted(model)
+        if present:
+            idx = np.array(present)
+            assert cf.contains(h1[idx], h2[idx]).all()  # no false negatives
+        absent = sorted(set(range(len(urls))) - model)
+        if absent:
+            idx = np.array(absent)
+            got = cf.contains(h1[idx], h2[idx])
+            # an absent key may only read True via a REAL collision with
+            # a present key on the same (shard, fp) and overlapping buckets
+            shard, fp, i1, i2 = ck.CuckooFilter._parts(h1, h2, 4, 127)
+            present_keys = {
+                (int(shard[j]), int(fp[j]), int(b))
+                for j in present
+                for b in (i1[j], i2[j])
+            }
+            for k, j in enumerate(idx):
+                if got[k]:
+                    overlap = {
+                        (int(shard[j]), int(fp[j]), int(b))
+                        for b in (i1[j], i2[j])
+                    }
+                    assert overlap & present_keys, f"phantom positive for {urls[j]}"
