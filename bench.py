@@ -628,14 +628,17 @@ def write_bench_md(scaling: dict, queries: dict[str, float], sf_dir: str,
         "on 34.1/34.4 s vs off 40.2/36.5 s at local[8]) and REJECTED: "
         "AQE's coalescing of small bookkeeping shuffles beats its "
         "stage-materialization latency here, so AQE stays on (opt-out "
-        "kept: `CrawlRunner(adaptive_bookkeeping=False)`). Result, two "
-        "back-to-back passes at HEAD: local[8] 38.9/39.9 s, local[2] "
-        "115.0/101.5 s over 4 waves of 22k URLs → **clock-corrected "
-        "0.858 / 0.812 — over the 0.8 bar in both passes** (raw "
-        "0.738/0.635; both 4N runs drew a 15-28% slower in-window clock "
-        "than their N partner, which is exactly what the correction "
-        "normalizes). The north_rule target remains the fat-wave "
-        "number above.",
+        "kept: `CrawlRunner(adaptive_bookkeeping=False)`). Result at "
+        "HEAD over 4 waves of 22k URLs, SIX back-to-back passes — ALL "
+        "reported, no best-of-N hiding: clock-corrected 0.858 / 0.812 "
+        "/ 0.779 / 0.745 / 1.014 / 0.749 (median ≈ 0.80, 3 of 6 ≥ "
+        "0.81), raw 0.738 / 0.635 / 0.720 / 0.701 / 0.698 / 0.729. "
+        "The regime moved from r3's 0.70-0.75 corrected band to "
+        "straddling the 0.8 bar, and the local[8] wall time dropped "
+        "from 39-51 s to a consistent 36-39 s; the residual "
+        "pass-to-pass spread is the ±20-35% clock drift at this short "
+        "duration. The north_rule target remains the fat-wave number "
+        "above.",
         "\n## 20× world dry run (scale-up evidence, r4)\n",
         "One documented pass at a 1M-page / 1024-host / 1M-seed world "
         "(20× the standard bench world; `SPARK_BENCH_PAGES=1000000 "
