@@ -74,7 +74,7 @@ from crawler_tjce_spark.plans.frontier import (
     salient_expr,
     score_expr,
 )
-from crawler_tjce_spark.plans.robots import with_robots
+from crawler_tjce_spark.plans.robots import with_robots, with_robots_literal
 from crawler_tjce_spark.sources.tableio import SnapshotStore
 
 FRONTIER_COLS = ["url", "host", "depth", "discovered_wave", "salient"]
@@ -99,6 +99,7 @@ class CrawlRunner:
         flaky_share: int = 10,
         flaky_fail_pct: int = 40,
         adaptive_bookkeeping: bool = True,
+        robots_literal_max_hosts: int = 4096,
     ):
         self.spark = spark
         # True (default) keeps the session's AQE setting for the crawl
@@ -149,6 +150,29 @@ class CrawlRunner:
         self.pages = spark.read.parquet(f"{world_dir}/pages.parquet").persist()
         self.robots = spark.read.parquet(f"{world_dir}/robots.parquet")
         self.seeds = spark.read.parquet(f"{world_dir}/seeds.parquet")
+        # Literal-map robots (r4): the wave loop attaches robots TWICE per
+        # wave (pick + links) and a broadcast join submits a broadcast-
+        # build job per query — two driver-latency jobs/wave on a static
+        # dim. When the rule table is small (footer row count ≤
+        # robots_literal_max_hosts) collect it ONCE and bake the rules
+        # into the plan as create_map literals: zero jobs per use, pure
+        # codegen. Big rule tables keep the broadcast join (a 10^6-entry
+        # literal would bloat every plan).
+        self.robots_literal_max_hosts = robots_literal_max_hosts
+        self._robots_rules: list[tuple] | None = None
+        try:
+            import pyarrow.parquet as _pq
+
+            n_rules = _pq.read_metadata(f"{world_dir}/robots.parquet").num_rows
+        except Exception:
+            n_rules = None
+        if n_rules is not None and n_rules <= robots_literal_max_hosts:
+            self._robots_rules = [
+                (r["host"], r["disallow_prefix"], r["host_budget"])
+                for r in self.robots.select(
+                    "host", "disallow_prefix", "host_budget"
+                ).collect()
+            ]
 
     # ------------------------------------------------------------------ state
     def seen_broadcast_ok(self, seen_rows: int | None, avg_url_bytes: float) -> bool:
@@ -162,6 +186,14 @@ class CrawlRunner:
             return False
         est_mb = seen_rows * (avg_url_bytes + 20.0) / 1e6
         return est_mb <= self.seen_broadcast_mb
+
+    def _with_robots(self, df: DataFrame) -> DataFrame:
+        """Attach robots budget/allow — literal-map when the rule table
+        was small enough to collect, broadcast join otherwise. Same
+        semantics either way (parity pinned in tests/test_robots_txt.py)."""
+        if self._robots_rules is not None:
+            return with_robots_literal(df, self._robots_rules)
+        return with_robots(df, self.robots)
 
     def _seen_df(self, upto_wave: int) -> DataFrame:
         """seen = seeds ∪ discovered[wave ≤ upto_wave] (append-only).
@@ -314,7 +346,7 @@ class CrawlRunner:
             "url",
             F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1).alias("host"),
         ).dropDuplicates(["url"])
-        seeded = with_robots(seeds, self.robots)
+        seeded = self._with_robots(seeds)
         frontier = (
             seeded.filter(F.col("robots_ok"))
             .select(
@@ -384,7 +416,7 @@ class CrawlRunner:
         # single pass over the frontier (the stage-2 politeness rank doubles
         # as the within-host visit rank — see politeness_pick_ordem)
         with job_group(spark.sparkContext, "pick_ordem"):
-            budgeted = with_robots(frontier, self.robots).withColumn("score", score_expr())
+            budgeted = self._with_robots(frontier).withColumn("score", score_expr())
             visits_plan = (
                 fetchmod.with_fetch_lineage(
                     politeness_pick_ordem(budgeted, manifest["ordem_offset"],
@@ -483,13 +515,12 @@ class CrawlRunner:
                     manifest.get("seen_rows"), manifest.get("avg_url_bytes", 80.0)
                 ),
             )
-            discovered = with_robots(
+            discovered = self._with_robots(
                 new_links.select(
                     "url",
                     F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1).alias("host"),
                     (F.col("parent_depth") + 1).alias("depth"),
                 ),
-                self.robots,
             ).select(
                 "url",
                 "host",

@@ -137,3 +137,43 @@ def test_parsed_rules_feed_with_robots(spark):
            for r in with_robots(urls, host_table).collect()}
     assert got["https://h.example/blocked/x"] == (False, 10)
     assert got["https://h.example/fine"] == (True, 10)
+
+
+def test_literal_robots_equals_broadcast_join(spark, tmp_path):
+    """with_robots_literal (create_map literals, zero jobs per use) is
+    row-identical to the broadcast-join form on a real world's robots
+    table — including unknown hosts (default budget 4, allowed) and
+    NULL disallow prefixes."""
+    from crawler_tjce_spark.datagen import WorldConfig, write_world
+    from crawler_tjce_spark.plans.robots import with_robots, with_robots_literal
+
+    world = str(tmp_path / "world_lit")
+    write_world(WorldConfig(n_hosts=7, n_pages=200, n_seeds=7), world)
+    robots = spark.read.parquet(f"{world}/robots.parquet")
+    rules = [
+        (r["host"], r["disallow_prefix"], r["host_budget"])
+        for r in robots.select("host", "disallow_prefix", "host_budget").collect()
+    ]
+    urls = spark.read.parquet(f"{world}/pages.parquet").select("url").withColumn(
+        "host",
+        __import__("pyspark.sql.functions", fromlist=["F"]).regexp_extract(
+            "url", r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1
+        ),
+    )
+    # add an unknown host to exercise the defaults
+    extra = spark.createDataFrame(
+        [("https://unknown.example/x", "unknown.example")], "url string, host string"
+    )
+    urls = urls.unionByName(extra)
+    a = sorted(
+        (r["url"], r["host_budget"], r["robots_ok"])
+        for r in with_robots(urls, robots).collect()
+    )
+    b = sorted(
+        (r["url"], r["host_budget"], r["robots_ok"])
+        for r in with_robots_literal(urls, rules).collect()
+    )
+    assert a == b and len(a) > 0
+    # and the literal plan really is join-free and job-free to build
+    plan = with_robots_literal(urls, rules)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan
