@@ -608,7 +608,7 @@ def write_bench_md(scaling: dict, queries: dict[str, float], sf_dir: str,
         "honest conclusion is r4 ≈ r3 on this config — the r4 changes "
         "targeted the multi-wave regime (below), which the one-fat-wave "
         "r2 config doesn't exercise.\n",
-        "## Multi-wave regime (r3 `weak` → r4 over the bar)\n",
+        "## Multi-wave regime (r3 `weak` → r4 at the bar)\n",
         "The headline measurement uses one fat wave — the representative "
         "shape of a 10^10-URL frontier, where every wave carries "
         "`hosts × budget` fetches. The multi-wave regime (many small "
