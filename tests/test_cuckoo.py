@@ -148,3 +148,13 @@ def test_property_insert_delete_against_set_model(spark):
                         for b in (i1[j], i2[j])
                     }
                     assert overlap & present_keys, f"phantom positive for {urls[j]}"
+
+
+def test_empty_build_rejects_everything(spark):
+    """Empty seen input → all-empty filter: every candidate is
+    definitely-new and the exact anti-join stays authoritative."""
+    empty = spark.createDataFrame([], "url string")
+    cf = ck.build_cuckoo(empty, "url", expected_n=100)
+    cands = spark.createDataFrame([(u,) for u in _urls(0, 20)], "url string")
+    out = ck.filter_unseen_cuckoo(cands, empty, "url", cf)
+    assert out.count() == 20

@@ -177,3 +177,15 @@ def test_literal_robots_equals_broadcast_join(spark, tmp_path):
     # and the literal plan really is join-free and job-free to build
     plan = with_robots_literal(urls, rules)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_literal_robots_empty_rules_defaults(spark):
+    """No rules → every URL allowed with default budget 4 (the literal
+    path's analog of the join's unknown-host behavior)."""
+    from crawler_tjce_spark.plans.robots import with_robots_literal
+
+    df = spark.createDataFrame(
+        [("https://a.example/x", "a.example")], "url string, host string"
+    )
+    r = with_robots_literal(df, []).collect()[0]
+    assert r["host_budget"] == 4 and r["robots_ok"] is True
