@@ -86,8 +86,17 @@ def scalable_prefix_offsets(
     bucket SPLIT, never the result."""
     spark = counts.sparkSession
     p = num_ranges or spark.sparkContext.defaultParallelism
-    parted = counts.repartitionByRange(p, F.col(key_col)).withColumn(
-        "_pid", F.spark_partition_id()
+    # `_pid` must be IDENTICAL in both consumers below (the per-bucket
+    # window and the bucket-totals agg). Range boundaries are
+    # sample-based, so two independently planned range exchanges could
+    # legally disagree; don't rely on ReuseExchange (ADVICE r4) —
+    # localCheckpoint materializes the bucketed counts once (one row
+    # per key, ~MBs even at 10^7 keys) and both branches read the same
+    # partitioning from the cached blocks.
+    parted = (
+        counts.repartitionByRange(p, F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
     w_in = Window.partitionBy("_pid").orderBy(key_col).rowsBetween(
         Window.unboundedPreceding, -1

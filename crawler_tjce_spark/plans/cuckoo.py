@@ -58,6 +58,16 @@ class CuckooFilter:
     ``table``: uint16 ndarray of shape (P, m, SLOTS); 0 = empty slot
     (fingerprints are forced nonzero). Pickles cleanly, so the whole
     object can be handed to ``sc.broadcast`` for executor-side probes.
+
+    Single-copy invariant (ADVICE r4): every distinct key occupies at
+    most ONE slot. :func:`build_cuckoo` enforces it by deduplicating
+    (h1, h2) inside each shard task; driver-side callers of
+    :meth:`insert_hashed` must insert only keys not already present
+    (probe with :meth:`contains` first, as the runner does). Without
+    it, duplicate inserts burn slots (capacity overflow below
+    ``expected_n`` distinct keys) and a duplicated key survives a
+    single :meth:`delete` — silently breaking the drop-in-prefilter
+    contract.
     """
 
     def __init__(self, table: np.ndarray, shards: int, mask: int):
@@ -181,9 +191,17 @@ def build_cuckoo(
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         p = int(pdf["_shard"].iloc[0])
         table = np.zeros((m, SLOTS), dtype=np.uint16)
-        _, fp, i1, _ = CuckooFilter._parts(
-            pdf["h1"].to_numpy(), pdf["h2"].to_numpy(), shards, mask
+        # single-copy invariant: duplicate URLs share h1, so every copy
+        # lands in THIS shard — np.unique over the (h1, h2) pair is an
+        # exact, shuffle-free dedup (keys the filter could tell apart
+        # are never merged; a full-hash twin is indistinguishable to it
+        # anyway). Without it dup-carrying seen sets burn slots
+        # (overflow below expected_n distinct) and survive delete()
+        # (ADVICE r4, medium).
+        pairs = np.unique(
+            np.stack([pdf["h1"].to_numpy(), pdf["h2"].to_numpy()], axis=1), axis=0
         )
+        _, fp, i1, _ = CuckooFilter._parts(pairs[:, 0], pairs[:, 1], shards, mask)
         for n in range(len(fp)):
             _insert_one(table, int(i1[n]), int(fp[n]), mask)
         return pd.DataFrame({"shard": [p], "tbl": [table.tobytes()]})

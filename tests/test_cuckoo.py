@@ -158,3 +158,19 @@ def test_empty_build_rejects_everything(spark):
     cands = spark.createDataFrame([(u,) for u in _urls(0, 20)], "url string")
     out = ck.filter_unseen_cuckoo(cands, empty, "url", cf)
     assert out.count() == 20
+
+
+def test_build_dedups_duplicate_urls(spark):
+    """Duplicate URLs in the seen input occupy ONE slot (single-copy
+    invariant, ADVICE r4): a 10×-duplicated seen set sized for its
+    DISTINCT count builds without overflow, and a single delete() fully
+    evicts a formerly-duplicated key."""
+    dups = [(u,) for u in _urls(0, 120) for _ in range(10)]  # 1200 rows, 120 distinct
+    seen_urls = spark.createDataFrame(dups, "url string")
+    cf = ck.build_cuckoo(seen_urls, "url", expected_n=120)  # dup-blind sizing
+
+    h1, h2 = ck.hashes_for_urls(spark, _urls(0, 120))
+    assert cf.contains(h1, h2).all()
+    # one delete per key must fully evict it (a second copy would linger)
+    assert cf.delete(h1[:5], h2[:5]) == 5
+    assert not cf.contains(h1[:5], h2[:5]).any()

@@ -81,3 +81,36 @@ def test_plan_is_banded_equijoin_not_cartesian(spark):
     df = spark.createDataFrame([(i, i * 7919) for i in range(50)], "id long, h long")
     plan = dedup.hash64_near_pairs(df, "h", "id")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_degenerate_pileup_is_bounded(spark):
+    """VERDICT r4 #6: a mass of identical fingerprints (the all-zero
+    phash of blank images) must not self-join quadratically. With the
+    default bucket guard the 10k-row pileup's chunk buckets are dropped
+    (zero extra shuffle — the count rides the join's partitioning), the
+    job completes with a bounded pair set, and the survivors still match
+    brute force over the non-degenerate rows."""
+    normal = [(i, int(np.int64(np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF)))) for i in range(40)]
+    # plant one near pair among the normal rows
+    twin = (500, normal[7][1] ^ 0b101)  # hamming 2 from normal[7]
+    degenerate = [(10_000 + i, 0) for i in range(10_000)]
+    rows = normal + [twin] + degenerate
+    df = spark.createDataFrame(rows, "id long, h long")
+
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in dedup.hash64_near_pairs(df, "h", "id", max_hamming=3).collect()
+    }
+    # no pair touches the dropped pileup…
+    assert all(a < 10_000 and b < 10_000 for a, b, _ in got)
+    # …and the survivors are exactly brute force over the rest
+    assert got == _brute(normal + [twin], 3)
+    assert (7, 500, 2) in got
+
+    # guard OFF on a small pileup: intra-pileup pairs DO appear
+    small = spark.createDataFrame(normal + [(900 + i, 0) for i in range(4)], "id long, h long")
+    got_off = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.hash64_near_pairs(small, "h", "id", max_hamming=3, max_bucket=None).collect()
+    }
+    assert {(900, 901), (900, 902), (901, 902)} <= got_off
