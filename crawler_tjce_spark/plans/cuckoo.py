@@ -215,6 +215,73 @@ def build_cuckoo(
     return CuckooFilter(full, shards, mask)
 
 
+def insert_distributed(cf: CuckooFilter, new: DataFrame, url_col: str) -> CuckooFilter:
+    """Batch-insert an increment into an existing sharded filter as ONE
+    distributed job — the per-wave cuckoo analog of the bloom's
+    incremental OR (which cuckoo tables lack: slot occupancy conflicts
+    make two independently-built tables unmergeable).
+
+    Shape: hash JVM-side, shuffle the increment by shard, each shard
+    task copies ITS (m, SLOTS) slice out of the broadcast filter, runs
+    the sequential insert/evict loop over the (deduplicated) batch, and
+    returns the updated slice; untouched shards keep their old table.
+    At 10^10 keys the full-table broadcast is replaced by per-shard
+    state co-partitioned with the frontier (same sandbox-vs-scale note
+    as the driver-assembled build).
+
+    Single-copy invariant: the increment must be disjoint from the
+    filter's present keys — the crawl's per-wave discovered partitions
+    are by construction (they survived the exact anti-join), and a
+    previously TTL-deleted key is legitimately re-inserted here on
+    re-discovery.
+    """
+    spark = new.sparkSession
+    shards, mask = cf.shards, cf.mask
+    m = cf.table.shape[1]
+    bc = spark.sparkContext.broadcast(cf.table)
+    hashed = new.select(
+        F.xxhash64(F.col(url_col)).alias("h1"), F.hash(F.col(url_col)).alias("h2")
+    ).withColumn("_shard", F.pmod(F.col("h1"), F.lit(shards)))
+
+    def _ins(pdf: pd.DataFrame) -> pd.DataFrame:
+        p = int(pdf["_shard"].iloc[0])
+        table = bc.value[p].copy()
+        pairs = np.unique(
+            np.stack([pdf["h1"].to_numpy(), pdf["h2"].to_numpy()], axis=1), axis=0
+        )
+        _, fp, i1, _ = CuckooFilter._parts(pairs[:, 0], pairs[:, 1], shards, mask)
+        for n in range(len(fp)):
+            _insert_one(table, int(i1[n]), int(fp[n]), mask)
+        return pd.DataFrame({"shard": [p], "tbl": [table.tobytes()]})
+
+    parts = hashed.groupBy("_shard").applyInPandas(
+        _ins, schema="shard int, tbl binary"
+    ).collect()
+    full = cf.table.copy()
+    for row in parts:
+        full[row["shard"]] = np.frombuffer(row["tbl"], dtype=np.uint16).reshape(m, SLOTS)
+    bc.unpersist()
+    return CuckooFilter(full, shards, mask)
+
+
+def save_cuckoo(cf: CuckooFilter, path: str) -> None:
+    """Persist for checkpoint/resume (np.savez: table + geometry)."""
+    import io
+    import os
+
+    buf = io.BytesIO()
+    np.savez(buf, table=cf.table, shards=np.int64(cf.shards), mask=np.int64(cf.mask))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(buf.getvalue())
+    os.replace(tmp, path)  # atomic, like the manifest commit
+
+
+def load_cuckoo(path: str) -> CuckooFilter:
+    with np.load(path) as z:
+        return CuckooFilter(z["table"], int(z["shards"]), int(z["mask"]))
+
+
 def maybe_seen_expr_cuckoo(
     df: DataFrame, url_col: str, cf: CuckooFilter | Broadcast
 ):

@@ -29,6 +29,13 @@ from crawler_tjce_spark.refsim import SCORE_DEPTH, SCORE_RECENCY, SCORE_SALIENT
 
 SALIENT_SQL_RE = r"\d{7}-\d{2}\.\d{4}\.\d{1}\.\d{2}\.\d{4}"
 
+# Host count above which politeness_pick_ordem switches its cross-host
+# offsets step from the single-task ordered window (fine while the
+# one-row-per-host table is ~MBs) to the range-partitioned two-pass
+# prefix sum. ~10^6 hosts ≈ tens of MB of (host, count) rows — the
+# documented crossover in scalable_prefix_offsets.
+RANGE_OFFSETS_MIN_HOSTS = 1_000_000
+
 
 def salient_expr(url_col="url"):
     """CNJ process-number salience (ref crawler/edital_crawler.py:636-643)."""
@@ -75,7 +82,8 @@ def politeness_pick_ordem(
     ordem_offset: int,
     budget_col: str = "host_budget",
     salt_buckets: int = 16,
-    range_partition_offsets: bool = False,
+    range_partition_offsets: bool | None = None,
+    n_hosts: int | None = None,
 ) -> DataFrame:
     """Fused politeness pick + global ``ordem`` assignment — ONE job.
 
@@ -96,13 +104,23 @@ def politeness_pick_ordem(
 
     The offsets window (cumulative count ordered by host) runs on the
     per-host aggregate — one row per host. At 10^6+ hosts that single-
-    task window is still only ~MBs; beyond that pass
-    ``range_partition_offsets=True`` to compute the same offsets with
-    the range-partitioned two-pass prefix sum
-    (``operators.windows.scalable_prefix_offsets`` — parallel bucket
-    prefix sums + a bounded bucket-base window), byte-identical output
-    (equality pinned in tests/test_skew.py).
+    task window is still only ~MBs; beyond that the range-partitioned
+    two-pass prefix sum (``operators.windows.scalable_prefix_offsets``
+    — parallel bucket prefix sums + a bounded bucket-base window)
+    computes byte-identical offsets (equality pinned in
+    tests/test_skew.py).
+
+    Form selection (VERDICT r4 #8 — no caller flag needed): pass the
+    frontier's distinct-host count as ``n_hosts`` (the crawl runner
+    tracks it from an ``Observation`` riding the frontier write — zero
+    extra jobs) and the scalable form engages automatically at
+    ``RANGE_OFFSETS_MIN_HOSTS``. ``range_partition_offsets`` remains as
+    an explicit override (True/False); ``None`` means auto.
     """
+    if range_partition_offsets is None:
+        range_partition_offsets = (
+            n_hosts is not None and n_hosts >= RANGE_OFFSETS_MIN_HOSTS
+        )
     order = [F.desc("score"), F.col("url")]
     salted = frontier.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
     w1 = Window.partitionBy("host", "_salt").orderBy(*order)

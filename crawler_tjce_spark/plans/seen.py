@@ -113,6 +113,73 @@ def maybe_seen_expr(
     )
 
 
+def prefilter_new_rows(
+    candidates: DataFrame,
+    seen: DataFrame,
+    url_col: str = "url",
+    tagger=None,
+    broadcast_seen: bool = False,
+) -> DataFrame:
+    """Row-level unseen filter applied BEFORE any dedup/aggregation —
+    the links-path pushdown (VERDICT r4 #1).
+
+    ``filter_unseen`` assumes its candidates are already URL-distinct;
+    the crawl's links path used to get there with a ``groupBy(url)``
+    over EVERY exploded out-link, which at 10^8-URL waves shuffles the
+    whole discovered-link stream — dominated, in a converged crawl, by
+    links to already-seen URLs — before the filter structure has pruned
+    anything. Here the probe runs as a map-side projection over the raw
+    rows and the streams split BEFORE the shuffle:
+
+    * probe-negative rows are DEFINITELY NEW (no false negatives) and
+      flow to the caller's aggregation unchecked — in a converged crawl
+      this is the small stream;
+    * probe-positive rows reduce to a URL-ONLY ``distinct`` (narrower
+      rows than the caller's aggregate, and the dominant truly-seen
+      traffic collapses map-side) whose survivors of the authoritative
+      exact anti-join are the bloom/cuckoo FALSE POSITIVES — expected
+      ``fpp × |distinct new URLs|``, i.e. tiny — broadcast back as a
+      semi-join to recover their full rows.
+
+    Equivalence: the tag is a pure function of the URL, so every row of
+    a URL takes the same branch; output rows = candidates whose URL is
+    not in ``seen``, exactly (false positives are recovered by the
+    exact check, never dropped). What no longer happens is the seen-URL
+    traffic entering a full-width shuffle: it dies in the map-side
+    partial aggregate of a url-only distinct.
+
+    Cost note: the candidate subtree is evaluated by three consumers
+    (new stream, maybe-url distinct, false-positive recovery) — the
+    explode recomputes instead of re-reading a shuffle. That is the
+    intended trade at cluster scale (CPU-cheap recompute vs network
+    shuffle of the dominant stream); the A/B on the 20× world is
+    recorded in BENCH.md.
+
+    ``tagger``: callable df → df with a boolean ``_maybe_seen`` (the
+    bloom's :func:`maybe_seen_expr` or the cuckoo's
+    ``maybe_seen_expr_cuckoo``, partially applied). ``None`` falls back
+    to the plain exact anti-join over the raw rows (only sensible for
+    small candidate sets — the runner keeps the group-then-filter shape
+    when it has no filter structure).
+    """
+    seen_urls = seen.select(url_col).distinct()
+    if broadcast_seen:
+        seen_urls = F.broadcast(seen_urls)
+    if tagger is None:
+        return candidates.join(seen_urls, url_col, "left_anti")
+    tagged = tagger(candidates)
+    definitely_new = tagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
+    maybe = tagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
+    fp_urls = (
+        maybe.select(url_col).distinct().join(seen_urls, url_col, "left_anti")
+    )
+    # fp_urls is bounded by fpp × distinct-new-URLs — broadcast is safe
+    # by construction (a saturated/undersized bloom degrades this the
+    # same way it degraded the old path's anti-join width)
+    recovered = maybe.join(F.broadcast(fp_urls), url_col, "left_semi")
+    return definitely_new.unionByName(recovered)
+
+
 def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,

@@ -100,6 +100,9 @@ class CrawlRunner:
         flaky_fail_pct: int = 40,
         adaptive_bookkeeping: bool = True,
         robots_literal_max_hosts: int = 4096,
+        seen_filter: str | None = None,
+        links_prefilter: bool = True,
+        cuckoo_shards: int = 32,
     ):
         self.spark = spark
         # True (default) keeps the session's AQE setting for the crawl
@@ -115,7 +118,21 @@ class CrawlRunner:
         self.world_dir = world_dir
         self.store = SnapshotStore(store_root)
         self.max_waves = max_waves
-        self.use_bloom = use_bloom
+        # seen-filter selection (VERDICT r4 #7): "bloom" (append-only,
+        # cheapest), "cuckoo" (deletion-capable — TTL eviction / forced
+        # re-crawl via ttl_evict), or "none". `use_bloom` kept as the
+        # legacy switch: seen_filter=None derives from it.
+        self.seen_filter = (
+            seen_filter if seen_filter is not None else ("bloom" if use_bloom else "none")
+        )
+        if self.seen_filter not in ("bloom", "cuckoo", "none"):
+            raise ValueError(f"seen_filter must be bloom|cuckoo|none, got {seen_filter!r}")
+        self.use_bloom = self.seen_filter == "bloom"
+        # probe the bloom/cuckoo BEFORE the links groupBy shuffle so
+        # definitely-seen links never enter it (VERDICT r4 #1); False
+        # keeps the group-then-filter shape (the A/B control)
+        self.links_prefilter = links_prefilter
+        self.cuckoo_shards = cuckoo_shards
         self.bloom_expected = bloom_expected
         self.bloom_fpp = bloom_fpp
         self.salt_buckets = salt_buckets
@@ -140,6 +157,9 @@ class CrawlRunner:
         # documented 10^8-key mid-scale). Refreshed by _bloom_publish.
         self._bloom_bc = None
         self._bloom_k = 0
+        # cuckoo state (seen_filter="cuckoo"): driver handle + broadcast
+        self._cuckoo = None
+        self._cuckoo_bc = None
         # cross-wave payload pipeline: (thread, err_list, wave) of the
         # in-flight payload job — see _drain_payload
         self._payload_pending: tuple | None = None
@@ -196,7 +216,8 @@ class CrawlRunner:
         return with_robots(df, self.robots)
 
     def _seen_df(self, upto_wave: int) -> DataFrame:
-        """seen = seeds ∪ discovered[wave ≤ upto_wave] (append-only).
+        """seen = (seeds ∪ discovered ∪ requeued)[wave ≤ upto_wave]
+        − still-live evictions.
 
         Wave pruning happens at the PATH level (explicit ``w{N}`` dirs),
         not by scanning ``w*`` and filtering the ``wave`` column. Two
@@ -206,17 +227,37 @@ class CrawlRunner:
         own input plan had listed (FAILED_READ_FILE; surfaced by the r4
         AQE-off change, but a latent read-own-write-target overlap all
         along); (b) at 10^5 waves this is source-level pruning instead
-        of 10^5 footer reads per seen-join."""
-        seen = self.seeds.select("url")
-        paths = [
-            p
-            for w in range(0, upto_wave + 1)
-            if os.path.exists(p := self.store.table_dir("discovered", w))
-        ]
-        if paths:
-            disc = self.spark.read.parquet(*paths)
-            seen = seen.unionByName(disc.select("url"))
-        return seen
+        of 10^5 footer reads per seen-join.
+
+        Evictions (``ttl_evict``, cuckoo mode): a tombstone (url,
+        evict_wave) masks every entry for that url from BEFORE the
+        eviction; a later re-discovery or requeue (entry wave ≥
+        evict_wave) resurrects it. The tombstone table is bounded
+        (explicit eviction batches), so its mask join is a broadcast —
+        per-wave cost ~nothing."""
+        entries = self.seeds.select("url", F.lit(-1).alias("_w"))
+        for table in ("discovered", "requeued"):
+            paths = [
+                p
+                for w in range(0, upto_wave + 1)
+                if os.path.exists(p := self.store.table_dir(table, w))
+            ]
+            if paths:
+                part = self.spark.read.parquet(*paths)
+                entries = entries.unionByName(
+                    part.select("url", F.col("wave").alias("_w"))
+                )
+        evp = os.path.join(self.store.root, "evicted")
+        if os.path.isdir(evp):
+            ev = (
+                self.spark.read.parquet(evp)
+                .groupBy("url")
+                .agg(F.max("evict_wave").alias("_ew"))
+            )
+            entries = entries.join(F.broadcast(ev), "url", "left").filter(
+                F.col("_ew").isNull() | (F.col("_w") >= F.col("_ew"))
+            )
+        return entries.select("url")
 
     def _bloom_path(self, wave: int) -> str:
         return os.path.join(self.store.root, f"bloom_{wave}.bin")
@@ -263,6 +304,64 @@ class CrawlRunner:
         with open(self._bloom_path(wave + 1), "wb") as f:
             f.write(self._bloom_bits)
 
+    # ------------------------------------------------------- cuckoo filter
+    def _cuckoo_path(self, wave: int) -> str:
+        return os.path.join(self.store.root, f"cuckoo_{wave}.npz")
+
+    def _cuckoo_publish(self) -> None:
+        from crawler_tjce_spark.plans import cuckoo as ckmod  # noqa: F401
+
+        old = self._cuckoo_bc
+        self._cuckoo_bc = self.spark.sparkContext.broadcast(self._cuckoo)
+        if old is not None:
+            old.unpersist()
+
+    def _init_cuckoo(self, wave: int) -> None:
+        from crawler_tjce_spark.plans import cuckoo as ckmod
+
+        p = self._cuckoo_path(wave)
+        if os.path.exists(p):
+            self._cuckoo = ckmod.load_cuckoo(p)
+        else:  # rebuild from committed state (resume after filter-file loss)
+            self._cuckoo = ckmod.build_cuckoo(
+                self._seen_df(wave - 1), "url", self.bloom_expected, self.cuckoo_shards
+            )
+        self._cuckoo_publish()
+
+    def _cuckoo_add(self, df: DataFrame, wave: int) -> None:
+        from crawler_tjce_spark.plans import cuckoo as ckmod
+
+        self._cuckoo = ckmod.insert_distributed(self._cuckoo, df.select("url"), "url")
+        self._cuckoo_publish()
+        # like the bloom: persist under the wave this filter will SERVE
+        ckmod.save_cuckoo(self._cuckoo, self._cuckoo_path(wave + 1))
+
+    # --------------------------------------------- seen-filter dispatch
+    def _init_seen_filter(self, wave: int) -> None:
+        if self.seen_filter == "bloom":
+            self._init_bloom(wave)
+        elif self.seen_filter == "cuckoo":
+            self._init_cuckoo(wave)
+
+    def _seen_filter_add(self, df: DataFrame, wave: int) -> None:
+        if self.seen_filter == "bloom":
+            self._bloom_add(df, wave)
+        elif self.seen_filter == "cuckoo":
+            self._cuckoo_add(df, wave)
+
+    def _probe_tagger(self):
+        """df → df + ``_maybe_seen`` for the active filter, or ``None``
+        when no filter structure exists (seen_filter="none")."""
+        if self.seen_filter == "bloom":
+            bc, k = self._bloom_bc, self._bloom_k
+            return lambda df: seenmod.maybe_seen_expr(df, "url", bc, k)
+        if self.seen_filter == "cuckoo":
+            from crawler_tjce_spark.plans.cuckoo import maybe_seen_expr_cuckoo
+
+            bc = self._cuckoo_bc
+            return lambda df: maybe_seen_expr_cuckoo(df, "url", bc)
+        return None
+
     # ------------------------------------------------------------------- run
     def prepare(self, resume: bool = True) -> dict:
         """One-time setup: load/bootstrap the manifest and the bloom
@@ -274,7 +373,7 @@ class CrawlRunner:
             with job_group(self.spark.sparkContext, "bootstrap"):
                 manifest = self._bootstrap()
         with job_group(self.spark.sparkContext, "bloom_init"):
-            self._init_bloom(manifest["wave"])
+            self._init_seen_filter(manifest["wave"])
         return manifest
 
     def run_waves(self, manifest: dict) -> dict:
@@ -340,6 +439,113 @@ class CrawlRunner:
     def run(self, resume: bool = True) -> dict:
         return self.run_waves(self.prepare(resume))
 
+    # -------------------------------------------------- TTL / re-crawl
+    def ttl_evict(self, urls: list[str]) -> int:
+        """Evict URLs from the seen set (TTL expiry / forced refresh) —
+        the operation the cuckoo filter exists for (``seen_filter=
+        "cuckoo"``; a bloom cannot delete without a full rebuild, so
+        bloom mode raises).
+
+        Effects: the fingerprints leave the cuckoo filter (O(1) slot
+        clears, persisted for resume) and a tombstone (url, evict_wave)
+        masks the exact seen entries written before now. From this
+        point the URLs are re-discoverable: the next fetched page that
+        links to one re-discovers it through the normal links path
+        (probe says definitely-new, exact anti-join agrees) and it is
+        re-fetched next wave. For an immediate re-fetch without waiting
+        on organic discovery, follow with :meth:`requeue`.
+
+        Returns the number of fingerprints actually removed. Call
+        between runs (not mid-wave): state is read from and committed
+        to the store."""
+        if self.seen_filter != "cuckoo":
+            raise RuntimeError(
+                "ttl_evict requires seen_filter='cuckoo' — a bloom filter "
+                "cannot delete (clearing shared bits would create false "
+                "negatives); rebuild the bloom from the masked seen set instead"
+            )
+        from crawler_tjce_spark.plans import cuckoo as ckmod
+
+        manifest = self.store.load_manifest()
+        if self._cuckoo is None:
+            self._init_cuckoo(manifest["wave"])
+        h1, h2 = ckmod.hashes_for_urls(self.spark, urls)
+        removed = self._cuckoo.delete(h1, h2)
+        ckmod.save_cuckoo(self._cuckoo, self._cuckoo_path(manifest["wave"]))
+        self._cuckoo_publish()
+        ev = self.spark.createDataFrame(
+            [(u, manifest["wave"]) for u in urls], "url string, evict_wave int"
+        )
+        ev.coalesce(1).write.mode("append").parquet(
+            os.path.join(self.store.root, "evicted")
+        )
+        if manifest.get("seen_rows") is not None:
+            manifest["seen_rows"] = max(0, manifest["seen_rows"] - len(urls))
+        self.store.commit(manifest)
+        return removed
+
+    def requeue(self, urls: list[str]) -> dict:
+        """Re-inject URLs into the frontier for re-fetch and mark them
+        seen again (a ``requeued/w{N}`` entry resurrects them over any
+        tombstone), so the re-crawl wave's links path does not
+        double-discover them. Works in any filter mode — after a
+        ``ttl_evict`` the cuckoo gets the fingerprints re-inserted
+        (driver-side; requeue batches are bounded), a bloom still
+        carries them (it never forgets — harmless, they are seen again
+        anyway). Returns the updated committed manifest."""
+        manifest = self.store.load_manifest()
+        wave = manifest["wave"]
+        rq = (
+            self.spark.createDataFrame([(u,) for u in urls], "url string")
+            .dropDuplicates(["url"])
+            .select(
+                "url",
+                F.regexp_extract(
+                    "url", r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1
+                ).alias("host"),
+                F.lit(0).alias("depth"),
+                F.lit(wave).alias("discovered_wave"),
+                salient_expr().alias("salient"),
+                F.lit(wave).alias("wave"),
+            )
+        )
+        self.store.write_wave(rq, "requeued", wave)
+        if self.seen_filter == "cuckoo":
+            from crawler_tjce_spark.plans import cuckoo as ckmod
+
+            if self._cuckoo is None:
+                self._init_cuckoo(wave)
+            h1, h2 = ckmod.hashes_for_urls(self.spark, urls)
+            absent = ~self._cuckoo.contains(h1, h2)  # single-copy invariant
+            if absent.any():
+                self._cuckoo.insert_hashed(h1[absent], h2[absent])
+            ckmod.save_cuckoo(self._cuckoo, self._cuckoo_path(wave))
+            self._cuckoo_publish()
+        # frontier = current ∪ requeued; written to a fresh snapshot path
+        # (never overwrite the snapshot the plan is reading)
+        from pyspark.sql import Observation
+
+        old = self.spark.read.parquet(manifest["frontier_path"])
+        frontier = old.select(*FRONTIER_COLS).unionByName(rq.select(*FRONTIER_COLS))
+        obs = Observation(f"frontier_hosts_rq{manifest['snapshot_id']}")
+        frontier = frontier.observe(
+            obs, F.approx_count_distinct("host").alias("hosts")
+        )
+        fpath = self.store.write_full(
+            frontier, "frontier", f"{wave}rq{manifest['snapshot_id']}"
+        )
+        manifest.update(
+            {
+                "frontier_path": fpath,
+                "frontier_rows": self.store.count_rows(fpath),
+                "frontier_hosts": int(obs.get["hosts"]),
+            }
+        )
+        if manifest.get("seen_rows") is not None:
+            manifest["seen_rows"] += len(urls)
+        self.store.commit(manifest)
+        return manifest
+
     def _bootstrap(self) -> dict:
         """Wave-0 state: seeds → frontier (robots permitting)."""
         seeds = self.seeds.select(
@@ -357,7 +563,17 @@ class CrawlRunner:
                 salient_expr().alias("salient"),
             )
         )
+        # distinct-host count rides the write (Observation = accumulator
+        # -backed, zero extra job) — it drives the pick's automatic
+        # offsets-form selection at 10^6+ hosts (VERDICT r4 #8)
+        from pyspark.sql import Observation
+
+        obs = Observation("frontier_hosts_w0")
+        frontier = frontier.observe(
+            obs, F.approx_count_distinct("host").alias("hosts")
+        )
         fpath = self.store.write_full(frontier, "frontier", 0)
+        frontier_hosts = int(obs.get["hosts"])
         frontier_rows = self.store.count_rows(fpath)
         seed_stats = (
             self.seeds.select("url")
@@ -370,6 +586,7 @@ class CrawlRunner:
             "ordem_offset": 0,
             "frontier_path": fpath,
             "frontier_rows": frontier_rows,
+            "frontier_hosts": frontier_hosts,
             "seen_rows": int(seed_stats["n"]),
             "avg_url_bytes": float(seed_stats["len"] or 0.0),
             "metrics": [],
@@ -420,7 +637,8 @@ class CrawlRunner:
             visits_plan = (
                 fetchmod.with_fetch_lineage(
                     politeness_pick_ordem(budgeted, manifest["ordem_offset"],
-                                          salt_buckets=self.salt_buckets),
+                                          salt_buckets=self.salt_buckets,
+                                          n_hosts=manifest.get("frontier_hosts")),
                     fail_pct=(
                         fetchmod.host_fail_pct_expr(
                             "host", self.flaky_share, self.flaky_fail_pct
@@ -494,27 +712,42 @@ class CrawlRunner:
 
         # 5. discovered links, first-fetcher attribution, seen-filter, robots
         with job_group(spark.sparkContext, "links_seen"):
-            links = (
-                fetched.select(
-                    F.explode_outer("out_links").alias("url"),
-                    F.col("depth").alias("parent_depth"),
-                    F.col("ordem").alias("parent_ordem"),
-                )
-                .filter(F.col("url").isNotNull())
-                .groupBy("url")
-                .agg(F.min_by("parent_depth", "parent_ordem").alias("parent_depth"))
-            )
+            raw_links = fetched.select(
+                F.explode_outer("out_links").alias("url"),
+                F.col("depth").alias("parent_depth"),
+                F.col("ordem").alias("parent_ordem"),
+            ).filter(F.col("url").isNotNull())
             seen = self._seen_df(wave - 1)
-            new_links = seenmod.filter_unseen(
-                links,
-                seen,
-                "url",
-                self._bloom_bc if self.use_bloom else None,
-                self._bloom_k,
-                broadcast_seen=self.seen_broadcast_ok(
-                    manifest.get("seen_rows"), manifest.get("avg_url_bytes", 80.0)
-                ),
+            bcast_seen = self.seen_broadcast_ok(
+                manifest.get("seen_rows"), manifest.get("avg_url_bytes", 80.0)
             )
+            tagger = self._probe_tagger()
+            if self.links_prefilter and tagger is not None:
+                # seen-probe pushdown (VERDICT r4 #1): probe every raw
+                # link map-side and drop definitely-seen traffic BEFORE
+                # the attribution groupBy — in a converged crawl the
+                # overwhelming majority of discovered links never enter
+                # the shuffle (they collapse in a url-only distinct on
+                # the maybe side; exact anti-join stays authoritative,
+                # see seen.prefilter_new_rows).
+                new_rows = seenmod.prefilter_new_rows(
+                    raw_links, seen, "url", tagger, broadcast_seen=bcast_seen
+                )
+                new_links = new_rows.groupBy("url").agg(
+                    F.min_by("parent_depth", "parent_ordem").alias("parent_depth")
+                )
+            else:
+                links = raw_links.groupBy("url").agg(
+                    F.min_by("parent_depth", "parent_ordem").alias("parent_depth")
+                )
+                new_links = seenmod.filter_unseen(
+                    links,
+                    seen,
+                    "url",
+                    self._bloom_bc if self.seen_filter == "bloom" else None,
+                    self._bloom_k,
+                    broadcast_seen=bcast_seen,
+                )
             discovered = self._with_robots(
                 new_links.select(
                     "url",
@@ -551,7 +784,7 @@ class CrawlRunner:
         def _bloom_job() -> None:
             try:
                 with job_group(spark.sparkContext, "bloom_update"):
-                    self._bloom_add(discovered, wave)
+                    self._seen_filter_add(discovered, wave)
             except BaseException as e:
                 side_err.append(e)
 
@@ -610,6 +843,8 @@ class CrawlRunner:
         def _frontier_job() -> None:
             # 7. next frontier = old − picked + discovered∧allowed
             try:
+                from pyspark.sql import Observation
+
                 spark.sparkContext.setJobGroup("frontier_write", "frontier_write")
                 frontier_next = (
                     frontier.join(picked.select("url"), "url", "left_anti")
@@ -618,9 +853,14 @@ class CrawlRunner:
                         discovered.filter(F.col("robots_ok")).select(*FRONTIER_COLS)
                     )
                 )
+                obs = Observation(f"frontier_hosts_w{wave + 1}")
+                frontier_next = frontier_next.observe(
+                    obs, F.approx_count_distinct("host").alias("hosts")
+                )
                 frontier_out["path"] = self.store.write_full(
                     frontier_next, "frontier", wave + 1
                 )
+                frontier_out["hosts"] = int(obs.get["hosts"])
                 frontier_out["rows"] = self.store.count_rows(frontier_out["path"])
             except BaseException as e:
                 side_err.append(e)
@@ -645,6 +885,7 @@ class CrawlRunner:
                 "ordem_offset": manifest["ordem_offset"] + picked_n,
                 "frontier_path": fpath,
                 "frontier_rows": frontier_rows,
+                "frontier_hosts": int(frontier_out.get("hosts", 0)),
             }
         )
         manifest["metrics"].append(
