@@ -251,18 +251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q15_sort_desc_limit"] = q15_sort_desc_limit
 
     # -- set ops / joins (SURVEY §2.3, §2.7) ---------------------------------
-    def q12_union_dedup(spark, sf):  # U1+U2: union of "pages" + dedup
-        o = _t(spark, sf, "orders")
-        a = o.filter(F.col("o_totalprice") > 150000)
-        b = o.filter(F.col("o_orderstatus") == "O")
-        return (
-            a.unionByName(b)
-            .dropDuplicates(["o_orderkey"])
-            .groupBy("o_orderstatus")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-
-    q["q12_union_dedup"] = q12_union_dedup
+    # q12_union_dedup RETIRED (r5, VERDICT r4 #4): its U1+U2 coverage
+    # (union of pages + set dedup) is a strict subset of q28_dedup_exact
+    # (the dedup operator) + the tableio union tests + the crawl-parity
+    # suite; the slot now gates q53_cuckoo_prefilter.
 
     def q13_anti_join(spark, sf):  # J3: seen-set anti-join
         c = _t(spark, sf, "customer")
@@ -344,11 +336,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q22_slugify"] = q22_slugify
 
-    def q23_date_render(spark, sf):  # F7: dd/MM/yyyy render
-        o = _t(spark, sf, "orders").filter(F.year("o_orderdate") == 1995)
-        return o.select("o_orderkey", ptbr.format_date_ptbr("o_orderdate").alias("br_date"))
-
-    q["q23_date_render"] = q23_date_render
+    # q23_date_render RETIRED (r5, VERDICT r4 #4): F7's dd/MM/yyyy render
+    # is pinned by tests/test_functions.py unit coverage and rides the
+    # CSV-sink byte-parity goldens; the slot now gates q52_hash64_neardup.
 
     def q24_json_extract(spark, sf):  # F11+F14: JSON path + safe_float
         e = _t(spark, sf, "events")
@@ -427,6 +417,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("id_a", "id_b", "hamming")
 
     q["q32_simhash_pairs"] = q32_simhash_pairs
+
+    def q52_hash64_neardup(spark, sf):
+        # 64-bit-Hamming near-dup (operators/dedup.hash64_near_pairs —
+        # the phash-image-dedup operator, r4) over a STRUCTURED md5
+        # fingerprint: four 16-bit fields (lang, source, length-bucket,
+        # text noise; top field 15-bit to stay in signed-long range) so
+        # documents sharing metadata land within small Hamming distances
+        # of each other — exactly reproducible in ANSI SQL, so the
+        # oracle is a brute-force all-pairs Hamming join. Guard off
+        # (max_bucket=None) for exactness; the degenerate-pileup guard
+        # has its own unit test (tests/test_hash64_neardup.py).
+        d = _t(spark, sf, "documents")
+
+        def f16(c):
+            return F.conv(F.substring(F.md5(c), 1, 4), 16, 10).cast("long")
+
+        fp = (
+            (f16(F.col("text")) % 32768) * F.lit(281474976710656)
+            + f16(F.floor(F.col("n_chars") / 200).cast("long").cast("string"))
+            * F.lit(4294967296)
+            + f16(F.coalesce(F.col("source"), F.lit(""))) * F.lit(65536)
+            + f16(F.coalesce(F.col("lang"), F.lit("")))
+        )
+        fpd = d.select("doc_id", fp.alias("phash"))
+        return dedup.hash64_near_pairs(
+            fpd, "phash", "doc_id", max_hamming=3, max_bucket=None
+        )
+
+    q["q52_hash64_neardup"] = q52_hash64_neardup
+
+    def q53_cuckoo_prefilter(spark, sf):
+        # Cuckoo-filter seen-set prefilter + authoritative exact
+        # anti-join (plans/cuckoo.filter_unseen_cuckoo, r4): the output
+        # must equal plain NOT IN semantics exactly — false positives
+        # only ever cost an extra probe, false negatives are impossible.
+        # Seen set = every third document's synthesized URL.
+        from crawler_tjce_spark.plans import cuckoo as ck
+
+        d = _t(spark, sf, "documents")
+        u = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://docs.example/"),
+                F.coalesce(F.col("lang"), F.lit("")),
+                F.lit("/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        seen = u.filter(F.col("doc_id") % 3 == 0)
+        cf = ck.build_cuckoo(seen, "url", expected_n=20_000)
+        return ck.filter_unseen_cuckoo(u, seen, "url", cf).select("doc_id", "url")
+
+    q["q53_cuckoo_prefilter"] = q53_cuckoo_prefilter
 
     # -- similarity search ----------------------------------------------------
     def q29_emb_topk(spark, sf):
@@ -904,15 +947,6 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
     """
 
-    o["q12_union_dedup"] = """
-        SELECT o_orderstatus, count(*) AS n FROM (
-          SELECT DISTINCT ON (o_orderkey) * FROM (
-            SELECT * FROM orders WHERE o_totalprice > 150000
-            UNION ALL
-            SELECT * FROM orders WHERE o_orderstatus = 'O')
-        ) GROUP BY o_orderstatus
-    """
-
     o["q13_anti_join"] = """
         SELECT c_custkey, c_name FROM customer
         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
@@ -958,9 +992,32 @@ def oracle_sql() -> dict[str, str]:
         FROM customer WHERE c_custkey <= 100
     """
 
-    o["q23_date_render"] = """
-        SELECT o_orderkey, strftime(o_orderdate, '%d/%m/%Y') AS br_date
-        FROM orders WHERE year(o_orderdate) = 1995
+    o["q52_hash64_neardup"] = """
+        WITH fp AS (
+          SELECT doc_id,
+            (CAST('0x'||substr(md5(text),1,4) AS BIGINT) % 32768) * 281474976710656
+            + CAST('0x'||substr(md5(CAST(CAST(floor(n_chars/200) AS BIGINT) AS VARCHAR)),1,4)
+                   AS BIGINT) * 4294967296
+            + CAST('0x'||substr(md5(coalesce(source,'')),1,4) AS BIGINT) * 65536
+            + CAST('0x'||substr(md5(coalesce(lang,'')),1,4) AS BIGINT) AS h
+          FROM documents
+        )
+        SELECT id_a, id_b, hamming FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(bit_count(xor(a.h, b.h)) AS INTEGER) AS hamming
+          FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        ) WHERE hamming <= 3
+    """
+
+    o["q53_cuckoo_prefilter"] = """
+        WITH u AS (
+          SELECT doc_id,
+                 'https://docs.example/' || coalesce(lang,'') || '/'
+                   || CAST(doc_id AS VARCHAR) AS url
+          FROM documents
+        )
+        SELECT doc_id, url FROM u
+        WHERE url NOT IN (SELECT url FROM u WHERE doc_id % 3 = 0)
     """
 
     o["q24_json_extract"] = """
