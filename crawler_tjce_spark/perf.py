@@ -108,6 +108,14 @@ def _stage_attribution_unsafe(spark: SparkSession) -> dict[str, dict[str, float]
             "tasks": s.numCompleteTasks(),
             "status": s.status().toString(),
         }
+        # shuffle volume (the 100 TB-relevant signal: bytes that would
+        # cross the network on a real cluster); guarded per-field so a
+        # Spark version without these accessors degrades to times-only
+        try:
+            rec["shuf_w"] = s.shuffleWriteBytes()
+            rec["shuf_r"] = s.shuffleReadBytes()
+        except Exception:
+            rec["shuf_w"] = rec["shuf_r"] = 0
         if sid not in by_id or rec["tasks"] > by_id[sid]["tasks"]:
             by_id[sid] = rec
 
@@ -119,7 +127,8 @@ def _stage_attribution_unsafe(spark: SparkSession) -> dict[str, dict[str, float]
         grp_opt = j.jobGroup()
         grp = grp_opt.get() if grp_opt.isDefined() else "(untagged)"
         agg = out.setdefault(
-            grp, {"cpu_s": 0.0, "run_s": 0.0, "tasks": 0, "jobs": 0, "stages": 0}
+            grp, {"cpu_s": 0.0, "run_s": 0.0, "tasks": 0, "jobs": 0, "stages": 0,
+                  "shuffle_write_mb": 0.0, "shuffle_read_mb": 0.0}
         )
         agg["jobs"] += 1
         for sid in _scala_seq(j.stageIds()):
@@ -132,7 +141,11 @@ def _stage_attribution_unsafe(spark: SparkSession) -> dict[str, dict[str, float]
             agg["run_s"] += rec["run_ms"] / 1e3
             agg["tasks"] += rec["tasks"]
             agg["stages"] += 1
+            agg["shuffle_write_mb"] += rec.get("shuf_w", 0) / 1e6
+            agg["shuffle_read_mb"] += rec.get("shuf_r", 0) / 1e6
     for agg in out.values():
         agg["cpu_s"] = round(agg["cpu_s"], 2)
         agg["run_s"] = round(agg["run_s"], 2)
+        agg["shuffle_write_mb"] = round(agg["shuffle_write_mb"], 2)
+        agg["shuffle_read_mb"] = round(agg["shuffle_read_mb"], 2)
     return out

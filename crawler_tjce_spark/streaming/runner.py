@@ -654,14 +654,22 @@ class CrawlRunner:
             # ONE materialization: the visit-log write IS it. The payload
             # thread and the links path re-read the written parquet (the
             # runner's write-then-re-read doctrine), and the picked count
-            # comes from the parquet footers — the r2 flow's two eager
+            # rides the write as an Observation — the r2 flow's two eager
             # localCheckpoints + count job (≈3-4 s of driver-latency-bound
             # scheduling floor per wave, measured via perf.stage_attribution)
-            # collapse into the write.
-            vpath = self.store.write_wave(visits_plan, "visits", wave)
+            # collapse into the write, and the r4 footer walk (os.walk +
+            # per-file metadata reads, ~10-40 ms/wave of driver time in
+            # the multi-wave regime) into the accumulator.
+            from pyspark.sql import Observation
+
+            obs_v = Observation(f"picked_w{wave}")
+            vpath = self.store.write_wave(
+                visits_plan.observe(obs_v, F.count(F.lit(1)).alias("n")),
+                "visits", wave,
+            )
             visits = spark.read.parquet(vpath)
             picked = visits
-            picked_n = self.store.count_rows(vpath)  # footer, no job
+            picked_n = int(obs_v.get["n"])
         _step("pick_ordem")
         if picked_n == 0:  # stall guard (ref crawler/crawler.py:633-639 analog)
             # drain the previous payload BEFORE committing the stall
@@ -763,10 +771,16 @@ class CrawlRunner:
                 "robots_ok",
                 F.lit(wave).alias("wave"),
             )
-            dpath = self.store.write_wave(discovered, "discovered", wave)
+            from pyspark.sql import Observation
+
+            obs_d = Observation(f"discovered_w{wave}")
+            dpath = self.store.write_wave(
+                discovered.observe(obs_d, F.count(F.lit(1)).alias("n")),
+                "discovered", wave,
+            )
             discovered = spark.read.parquet(dpath)
             if manifest.get("seen_rows") is not None:
-                manifest["seen_rows"] += self.store.count_rows(dpath)  # footer, no job
+                manifest["seen_rows"] += int(obs_d.get["n"])  # rides the write
         _step("links_anti_join")
 
         # Everything below depends only on the just-committed discovered
@@ -825,15 +839,33 @@ class CrawlRunner:
                     F.sum("retry_backoff_s_total").alias("retry_backoff_s_total"),
                     F.sum("links_discovered_total").alias("links_discovered_total"),
                 )
+                # the histogram write is independent of the metrics write —
+                # run it on its own thread so the step costs max(two write
+                # latencies), not their sum (VERDICT r4 #5: fuse/overlap
+                # the remaining per-wave side-job actions)
+                hist_err: list[BaseException] = []
+
+                def _hist_job() -> None:
+                    try:
+                        spark.sparkContext.setJobGroup("metrics", "metrics")
+                        # request-duration histogram analog (ref
+                        # metrics.py:10-15: prometheus Histogram, buckets
+                        # 0.1-10 s per entity) — cumulative per-host
+                        # (le, count) rows from the deterministic duration
+                        # model, verifiable against refsim
+                        hist = fetchmod.duration_histogram(
+                            fetchmod.with_request_duration(picked)
+                        ).withColumn("wave", F.lit(wave))
+                        self.store.write_wave(hist, "duration_hist", wave)
+                    except BaseException as e:
+                        hist_err.append(e)
+
+                ht = threading.Thread(target=_hist_job, daemon=True)
+                ht.start()
                 self.store.write_wave(metrics_df, "metrics", wave)
-                # request-duration histogram analog (ref metrics.py:10-15:
-                # prometheus Histogram, buckets 0.1-10 s per entity) —
-                # cumulative per-host (le, count) rows from the
-                # deterministic duration model, verifiable against refsim
-                hist = fetchmod.duration_histogram(
-                    fetchmod.with_request_duration(picked)
-                ).withColumn("wave", F.lit(wave))
-                self.store.write_wave(hist, "duration_hist", wave)
+                ht.join()
+                if hist_err:
+                    raise hist_err[0]
                 counters.update(
                     {k: int(v or 0) for k, v in obs.get.items()}
                 )
@@ -855,13 +887,16 @@ class CrawlRunner:
                 )
                 obs = Observation(f"frontier_hosts_w{wave + 1}")
                 frontier_next = frontier_next.observe(
-                    obs, F.approx_count_distinct("host").alias("hosts")
+                    obs,
+                    F.approx_count_distinct("host").alias("hosts"),
+                    F.count(F.lit(1)).alias("rows"),
                 )
                 frontier_out["path"] = self.store.write_full(
                     frontier_next, "frontier", wave + 1
                 )
-                frontier_out["hosts"] = int(obs.get["hosts"])
-                frontier_out["rows"] = self.store.count_rows(frontier_out["path"])
+                got = obs.get
+                frontier_out["hosts"] = int(got["hosts"])
+                frontier_out["rows"] = int(got["rows"])
             except BaseException as e:
                 side_err.append(e)
 
@@ -876,7 +911,7 @@ class CrawlRunner:
         if side_err:
             raise side_err[0]
         fpath = str(frontier_out["path"])
-        frontier_rows = int(frontier_out["rows"])  # footer count, no job
+        frontier_rows = int(frontier_out["rows"])  # rode the write (Observation)
         _step("side_jobs")
 
         manifest.update(

@@ -79,11 +79,12 @@ def test_ptbr_number_property(spark_global, s):
     assert abs(got - _ref_parse_number(s)) < 1e-9, s
 
 
-# hypothesis can't take function-scoped fixtures; stash session-scoped spark
+# hypothesis can't take function-scoped fixtures; alias the module-scoped
+# spark (conftest recycles the underlying session every few modules)
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
 
