@@ -312,10 +312,11 @@ def filter_unseen_cuckoo(
     broadcast_seen: bool = False,
 ) -> DataFrame:
     """Candidates not in the seen set: cuckoo prefilter + authoritative
-    exact ``left_anti`` — drop-in parallel of ``seen.filter_unseen``."""
-    seen_urls = seen.select(url_col).distinct()
+    exact ``left_anti`` — drop-in parallel of ``seen.filter_unseen``
+    (incl. its dedup-only-when-broadcasting seen-side contract)."""
+    seen_urls = seen.select(url_col)
     if broadcast_seen:
-        seen_urls = F.broadcast(seen_urls)
+        seen_urls = F.broadcast(seen_urls.distinct())
     if cf is None:
         return candidates.join(seen_urls, url_col, "left_anti")
     tagged = maybe_seen_expr_cuckoo(candidates, url_col, cf)

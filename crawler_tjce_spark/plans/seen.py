@@ -162,9 +162,9 @@ def prefilter_new_rows(
     small candidate sets — the runner keeps the group-then-filter shape
     when it has no filter structure).
     """
-    seen_urls = seen.select(url_col).distinct()
+    seen_urls = seen.select(url_col)
     if broadcast_seen:
-        seen_urls = F.broadcast(seen_urls)
+        seen_urls = F.broadcast(seen_urls.distinct())
     if tagger is None:
         return candidates.join(seen_urls, url_col, "left_anti")
     tagged = tagger(candidates)
@@ -199,10 +199,16 @@ def filter_unseen(
     footers), hint a broadcast anti-join so neither side shuffles. At
     10^10 seen keys the hint stays off and the maybe-seen stream (a few
     % of candidates after the bloom) is what shuffles.
+
+    The seen side is deduplicated ONLY when broadcasting (shrinks the
+    shipped table): a shuffled ``left_anti`` needs no distinct input,
+    and the r4 shape's unconditional ``.distinct()`` was a full
+    hash-aggregate pass over the entire seen history EVERY wave — at
+    10^10 keys, the single largest avoidable cost in the wave loop.
     """
-    seen_urls = seen.select(url_col).distinct()
+    seen_urls = seen.select(url_col)
     if broadcast_seen:
-        seen_urls = F.broadcast(seen_urls)
+        seen_urls = F.broadcast(seen_urls.distinct())
     if bloom_bits is None:
         return candidates.join(seen_urls, url_col, "left_anti")
     tagged = maybe_seen_expr(candidates, url_col, bloom_bits, bloom_k)
