@@ -635,6 +635,8 @@ def _multiwave_section() -> list[str]:
         "single-box clock confound a real N→4N executor step would not "
         "have.\n"
     )
+    if mw.get("analysis"):
+        lines.append(mw["analysis"] + "\n")
     return lines
 
 
