@@ -823,7 +823,12 @@ def write_bench_md(scaling: dict, queries: dict[str, float], sf_dir: str,
         "measured under an unrecorded (likely faster) clock phase: the "
         "honest conclusion is r4 ≈ r3 on this config — the r4 changes "
         "targeted the multi-wave regime (below), which the one-fat-wave "
-        "r2 config doesn't exercise.\n",
+        "r2 config doesn't exercise. r5 at HEAD: 1080.6 URLs/s with an "
+        "in-window probe of 0.2052 s — squarely in the same slow clock "
+        "phase as the whole r4 series (0.22-0.23), so the series reads "
+        "r5 ≈ r4 ≈ r3 on this fixed config; the r5 gains land on the "
+        "big worlds (20×: 2666.9, 60×: 2507.9 URLs/s — see the "
+        "big-world section) and the multi-wave floor.\n",
     ]
     lines += _multiwave_section()
     lines += _bigworld_section()
