@@ -559,12 +559,35 @@ class CrawlRunner:
         return manifest
 
     def _bootstrap(self) -> dict:
-        """Wave-0 state: seeds → frontier (robots permitting)."""
+        """Wave-0 state: seeds → frontier (robots permitting), ONE pass.
+
+        r5 (the 60×-probe's named non-payload bottleneck — bootstrap is
+        linear in seeds): the r4 shape ran a SECOND full
+        distinct-shuffle over the seed list just for the manifest's
+        seen stats. All of it now rides the frontier write as one
+        mid-plan ``Observation`` placed BEFORE the robots filter: total
+        distinct seeds (= initial seen rows), avg URL length (the
+        broadcast-hint budget), allowed-row count (= frontier rows,
+        exact — the footer walk goes too) and the allowed distinct-host
+        count (offsets-form selection). One dedup shuffle, one job."""
+        from pyspark.sql import Observation
+
         seeds = self.seeds.select(
             "url",
             F.regexp_extract("url", r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1).alias("host"),
         ).dropDuplicates(["url"])
-        seeded = self._with_robots(seeds)
+        obs = Observation("bootstrap_stats")
+        seeded = self._with_robots(seeds).observe(
+            obs,
+            F.count(F.lit(1)).alias("n_seeds"),
+            F.avg(F.length("url")).alias("len"),
+            F.count_if(F.col("robots_ok")).alias("allowed"),
+            # conditional distinct: when() yields NULL for disallowed
+            # rows and approx_count_distinct ignores nulls
+            F.approx_count_distinct(
+                F.when(F.col("robots_ok"), F.col("host"))
+            ).alias("hosts"),
+        )
         frontier = (
             seeded.filter(F.col("robots_ok"))
             .select(
@@ -575,32 +598,16 @@ class CrawlRunner:
                 salient_expr().alias("salient"),
             )
         )
-        # distinct-host count rides the write (Observation = accumulator
-        # -backed, zero extra job) — it drives the pick's automatic
-        # offsets-form selection at 10^6+ hosts (VERDICT r4 #8)
-        from pyspark.sql import Observation
-
-        obs = Observation("frontier_hosts_w0")
-        frontier = frontier.observe(
-            obs, F.approx_count_distinct("host").alias("hosts")
-        )
         fpath = self.store.write_full(frontier, "frontier", 0)
-        frontier_hosts = int(obs.get["hosts"])
-        frontier_rows = self.store.count_rows(fpath)
-        seed_stats = (
-            self.seeds.select("url")
-            .distinct()
-            .agg(F.count("*").alias("n"), F.avg(F.length("url")).alias("len"))
-            .collect()[0]
-        )
+        stats = obs.get
         manifest = {
             "wave": 0,
             "ordem_offset": 0,
             "frontier_path": fpath,
-            "frontier_rows": frontier_rows,
-            "frontier_hosts": frontier_hosts,
-            "seen_rows": int(seed_stats["n"]),
-            "avg_url_bytes": float(seed_stats["len"] or 0.0),
+            "frontier_rows": int(stats["allowed"]),
+            "frontier_hosts": int(stats["hosts"] or 0),
+            "seen_rows": int(stats["n_seeds"]),
+            "avg_url_bytes": float(stats["len"] or 0.0),
             "metrics": [],
             "snapshot_id": 0,
         }
