@@ -87,3 +87,38 @@ def test_wave_shuffle_sizing_restored(spark, tmp_path):
     runner = CrawlRunner(spark, world, str(tmp_path / "store_sp"), max_waves=1)
     runner.run(resume=False)
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_prefilter_new_rows_equals_not_in(spark):
+    """Row-level pre-shuffle filter == exact NOT IN semantics for any
+    bloom state: candidates with DUPLICATE rows per url, a seen set
+    overlapping half of them, and a deliberately tiny (collision-heavy)
+    bloom — false positives must be recovered, never dropped, and
+    duplicate candidate rows must all survive for downstream
+    attribution."""
+    from crawler_tjce_spark.plans import seen as seenmod
+
+    cands = spark.createDataFrame(
+        [(f"https://h{i % 5}.example/p/{i % 40}", i) for i in range(120)],
+        "url string, payload int",
+    )
+    seen = spark.createDataFrame(
+        [(f"https://h{i % 5}.example/p/{i}",) for i in range(0, 40, 2)], "url string"
+    )
+    # collision-heavy bloom: 64 bits for 20 keys → many false positives
+    import numpy as np
+
+    bits = seenmod.build_bloom(seen, "url", expected_n=2, fpp=0.5)
+    _, k = seenmod.bloom_params(2, 0.5)
+    tagger = lambda df: seenmod.maybe_seen_expr(df, "url", bits, k)  # noqa: E731
+
+    got = sorted(
+        (r["url"], r["payload"])
+        for r in seenmod.prefilter_new_rows(cands, seen, "url", tagger).collect()
+    )
+    seen_urls = {r["url"] for r in seen.collect()}
+    want = sorted(
+        (r["url"], r["payload"]) for r in cands.collect() if r["url"] not in seen_urls
+    )
+    assert got == want
+    assert len(got) > 0 and np.frombuffer(bits, dtype=np.uint8).any()
