@@ -494,6 +494,13 @@ def run_queries(sf_dir: str):
     # q33 footnote lived only in git history and the regenerated
     # BENCH.md lost it).
     flagged = [n for n in steady if steady[n] > first[n] * 1.1 and steady[n] > 0.5]
+    # the steady>first detector misses contamination when the first run
+    # was even slower (r5: q33 swept at 5.6 s vs 3.5 s isolated, first
+    # 7.1 s) — the expensive cells are exactly where sweep GC/worker
+    # residue concentrates, so the top-2 by steady time ALWAYS get an
+    # isolated re-measure too; both numbers ship.
+    flagged += [n for n in sorted(steady, key=steady.get, reverse=True)[:2]
+                if n not in flagged and steady[n] > 1.0]
     isolated: dict[str, float] = {}
     if flagged:
         iso_out = "/tmp/bench_queries_iso.json"
@@ -799,7 +806,12 @@ def write_bench_md(scaling: dict, queries: dict[str, float], sf_dir: str,
         "inside the sequential sweep (GC, lingering Python workers); the "
         "bench detects this and re-measures the flagged query in a fresh "
         "single-query JVM, reported in the `isolated` column (VERDICT r4 "
-        "wrong #2 — this footnote is now generated, not hand-written).\n",
+        "wrong #2 — this footnote is now generated, not hand-written). "
+        "Because sweep residue concentrates in the expensive cells even "
+        "when steady < first, the two slowest queries ALWAYS get an "
+        "isolated re-measure as well; where the columns differ, the "
+        "isolated number is the query's true warm latency and the "
+        "steady column shows what a mixed workload sees.\n",
         "| query | first run s | steady-state s | isolated s |",
         "| --- | --- | --- | --- |",
     ]
