@@ -102,6 +102,18 @@ def politeness_pick_ordem(
     scheduling floor) disappear: the caller gets one lazy plan it can
     pipe straight into the visit-log write.
 
+    (r5 A/B, measured and REJECTED: deriving the counts from the
+    picked branch instead — ``max(_r2)`` per host equals
+    ``min(host_rows, budget)`` — reads as if it saves this second scan,
+    but column pruning gives the two consumers different exchange
+    schemas, so neither ReuseExchange nor AQE's runtime stage cache
+    fires (verified: 5 independent ShuffleQueryStages, pick jobs 7→8
+    per wave), and the duplicated branch re-shuffles the ENTIRE
+    frontier through the salted window — strictly worse at 10^10 rows
+    than this form's column-pruned two-column second scan, whose
+    aggregate is map-side-combined to one row per host before its
+    exchange.)
+
     The offsets window (cumulative count ordered by host) runs on the
     per-host aggregate — one row per host. At 10^6+ hosts that single-
     task window is still only ~MBs; beyond that the range-partitioned

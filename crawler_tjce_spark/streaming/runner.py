@@ -79,6 +79,24 @@ from crawler_tjce_spark.sources.tableio import SnapshotStore
 
 FRONTIER_COLS = ["url", "host", "depth", "discovered_wave", "salient"]
 
+# Explicit read schemas for the per-wave hot paths. Every
+# schema-less ``spark.read.parquet`` runs a footer-inference job
+# (observed: one "parquet at NativeMethodAccessorImpl" job per wave,
+# ~0.1-0.35 s of pure driver latency in the multi-wave regime, plus
+# one inside each group that re-reads its own write); the runner
+# wrote these files itself, so the schemas are known statically and
+# inference buys nothing. Partial schemas (``_SEEN_ENTRY_SCHEMA``)
+# are legal for parquet and double as read-side column pruning.
+_FRONTIER_SCHEMA = (
+    "url string, host string, depth int, discovered_wave int, salient boolean"
+)
+_VISITS_SCHEMA = _FRONTIER_SCHEMA + (
+    ", score int, ordem long, fetch_attempts int, fetch_status string,"
+    " backoff_total_s int, wave int"
+)
+_DISCOVERED_SCHEMA = _FRONTIER_SCHEMA + ", robots_ok boolean, wave int"
+_SEEN_ENTRY_SCHEMA = "url string, wave int"
+
 
 class CrawlRunner:
     def __init__(
@@ -255,7 +273,7 @@ class CrawlRunner:
                 if os.path.exists(p := self.store.table_dir(table, w))
             ]
             if paths:
-                part = self.spark.read.parquet(*paths)
+                part = self.spark.read.schema(_SEEN_ENTRY_SCHEMA).parquet(*paths)
                 entries = entries.unionByName(
                     part.select("url", F.col("wave").alias("_w"))
                 )
@@ -646,7 +664,7 @@ class CrawlRunner:
         wave_sp = min(max(2 * dp, manifest["frontier_rows"] // 1_000_000), 10_000)
         spark.conf.set("spark.sql.shuffle.partitions", str(wave_sp))
 
-        frontier = spark.read.parquet(manifest["frontier_path"])
+        frontier = spark.read.schema(_FRONTIER_SCHEMA).parquet(manifest["frontier_path"])
 
         # 1-3. budgets + salted politeness pick + global ordem, fused into a
         # single pass over the frontier (the stage-2 politeness rank doubles
@@ -686,7 +704,7 @@ class CrawlRunner:
                 visits_plan.observe(obs_v, F.count(F.lit(1)).alias("n")),
                 "visits", wave,
             )
-            visits = spark.read.parquet(vpath)
+            visits = spark.read.schema(_VISITS_SCHEMA).parquet(vpath)
             picked = visits
             picked_n = int(obs_v.get["n"])
         _step("pick_ordem")
@@ -797,7 +815,7 @@ class CrawlRunner:
                 discovered.observe(obs_d, F.count(F.lit(1)).alias("n")),
                 "discovered", wave,
             )
-            discovered = spark.read.parquet(dpath)
+            discovered = spark.read.schema(_DISCOVERED_SCHEMA).parquet(dpath)
             if manifest.get("seen_rows") is not None:
                 manifest["seen_rows"] += int(obs_d.get["n"])  # rides the write
         _step("links_anti_join")
