@@ -38,6 +38,41 @@ def with_robots(df: DataFrame, robots: DataFrame, url_col: str = "url") -> DataF
     )
 
 
+# Memo for the literal-map Column pair, keyed by (application id, rules).
+# Building a 256-host ``create_map`` is ~1500 sequential py4j calls —
+# MEASURED 0.5-1.2 s of pure driver time per call, and the wave loop
+# calls it twice per wave (pick + links): at 4 small waves that was
+# ~2-5 s of the per-wave scheduling floor, the largest single
+# contributor to the multi-wave regime's driver-latency residual
+# (probe: 2.2-2.9 s of zero-jobs-running gap between waves). Column
+# objects are immutable expression trees, safe to reuse across queries;
+# the application id in the key drops columns from a stopped JVM (the
+# test suite recycles JVMs mid-process).
+_LITERAL_MAP_MEMO: dict[tuple, tuple] = {}
+
+
+def _literal_maps(df: DataFrame, rules_key: tuple):
+    app_id = df.sparkSession.sparkContext.applicationId
+    key = (app_id, rules_key)
+    hit = _LITERAL_MAP_MEMO.get(key)
+    if hit is None:
+        budget_map = F.create_map(
+            *[x for h, _, b in rules_key for x in (F.lit(h), F.lit(int(b)))]
+        )
+        prefix_map = F.create_map(
+            *[
+                x
+                for h, p, _ in rules_key
+                if p is not None
+                for x in (F.lit(h), F.lit(p))
+            ]
+        )
+        hit = (budget_map, prefix_map)
+        _LITERAL_MAP_MEMO.clear()  # one live rule set per process is the case
+        _LITERAL_MAP_MEMO[key] = hit
+    return hit
+
+
 def with_robots_literal(
     df: DataFrame, rules: list[tuple], url_col: str = "url"
 ) -> DataFrame:
@@ -53,20 +88,11 @@ def with_robots_literal(
     The broadcast join stays the path for big rule tables (a 10^6-entry
     literal would bloat the plan); the crawl runner switches on
     ``robots_literal_max_hosts``. Empty rules → all defaults (allowed,
-    budget 4), mirroring the join's unknown-host behavior."""
+    budget 4), mirroring the join's unknown-host behavior. The map
+    Columns are memoized per (session, rules) — see ``_literal_maps``."""
     host = F.col("host")
     if rules:
-        budget_map = F.create_map(
-            *[x for h, _, b in rules for x in (F.lit(h), F.lit(int(b)))]
-        )
-        prefix_map = F.create_map(
-            *[
-                x
-                for h, p, _ in rules
-                if p is not None
-                for x in (F.lit(h), F.lit(p))
-            ]
-        )
+        budget_map, prefix_map = _literal_maps(df, tuple(rules))
         budget = F.coalesce(budget_map[host], F.lit(4))
         prefix = (
             prefix_map[host]

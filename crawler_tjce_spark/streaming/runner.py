@@ -61,6 +61,7 @@ deterministic given the committed state).
 from __future__ import annotations
 
 import os
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -193,6 +194,10 @@ class CrawlRunner:
         # cross-wave payload pipeline: (thread, err_list, wave) of the
         # in-flight payload job — see _drain_payload
         self._payload_pending: tuple | None = None
+        # cross-wave bookkeeping pipeline: [(thread, err_list), ...] of
+        # the previous wave's deferred side jobs (bloom/cuckoo update,
+        # metrics, duration histogram) — see _drain_side
+        self._side_pending: list[tuple] = []
 
         # cached: the fetch join reads pages twice per wave (links +
         # image refs). At real scale "pages" is the live web reached via
@@ -433,6 +438,30 @@ class CrawlRunner:
                 self.spark.conf.set("spark.sql.shuffle.partitions", prior_sp)
         return manifest
 
+    def _drain_side(self) -> None:
+        """Join the previous wave's deferred side jobs (seen-filter
+        update, per-host metrics, duration histogram).
+
+        These jobs have no consumer inside their own wave: the
+        bloom/cuckoo update is first read by the NEXT wave's links
+        probe, and metrics/histogram only by the manifest commit. The
+        wave loop therefore leaves them running and joins them here —
+        after the next wave's pick has been submitted (post-pick drain
+        point in ``_run_wave``) — so their job latency hides under the
+        next pick's plan-build + write instead of extending the wave
+        tail. Every manifest ``commit`` path drains first, keeping the
+        resume invariant "a committed wave is fully on disk" intact."""
+        pending = self._side_pending
+        if not pending:
+            return
+        self._side_pending = []
+        errs: list[BaseException] = []
+        for thread, err in pending:
+            thread.join()
+            errs.extend(err)
+        if errs:
+            raise errs[0]
+
     def _drain_payload(self, manifest: dict) -> None:
         """Join the previous wave's in-flight payload job and make that
         wave's DEFERRED manifest commit.
@@ -446,6 +475,7 @@ class CrawlRunner:
         a crash before the deferred commit simply replays wave N from
         the previous commit — every wave write is an idempotent
         overwrite, so recovery is recompute, never corruption."""
+        self._drain_side()  # counters must be complete before any commit
         if self._payload_pending is None:
             return
         thread, err, pwave = self._payload_pending
@@ -708,6 +738,12 @@ class CrawlRunner:
             picked = visits
             picked_n = int(obs_v.get["n"])
         _step("pick_ordem")
+        # join the PREVIOUS wave's deferred side jobs only now — their
+        # latency ran under this wave's pick plan-build + write. The
+        # links probe below reads the post-update seen filter, so the
+        # drain must (and does) precede the links step.
+        self._drain_side()
+        _step("side_drain")
         if picked_n == 0:  # stall guard (ref crawler/crawler.py:633-639 analog)
             # drain the previous payload BEFORE committing the stall
             # state: its deferred commit must not be skipped over
@@ -715,6 +751,24 @@ class CrawlRunner:
             manifest["frontier_rows"] = 0
             self.store.commit(manifest)
             return manifest
+
+        # duration histogram (ref metrics.py:10-15 analog): depends only
+        # on the picked set, so it launches HERE and runs under the
+        # links/anti-join step; joined at the next wave's drain point
+        hist_err: list[BaseException] = []
+
+        def _hist_job() -> None:
+            try:
+                spark.sparkContext.setJobGroup("metrics", "metrics")
+                hist = fetchmod.duration_histogram(
+                    fetchmod.with_request_duration(picked)
+                ).withColumn("wave", F.lit(wave))
+                self.store.write_wave(hist, "duration_hist", wave)
+            except BaseException as e:
+                hist_err.append(e)
+
+        hist_thread = threading.Thread(target=_hist_job, daemon=True)
+        hist_thread.start()
 
         # 4. fetch = join against the web; keep parent lineage for depth.
         # URLs whose retries exhausted (fetch_status='error') were visited
@@ -732,8 +786,6 @@ class CrawlRunner:
         # payload stage instead of adding to it — the Amdahl term that owned
         # the round-1 scaling number.
         if self.fetch_images:
-            import threading
-
             # join the PREVIOUS wave's payload + make its deferred commit
             # only now — everything above this point (pick, visit log)
             # ran under its tail
@@ -823,12 +875,16 @@ class CrawlRunner:
         # Everything below depends only on the just-committed discovered
         # partition (+ the picked checkpoint) and NOT on each other — run
         # the three jobs concurrently (FAIR scheduler): bloom build,
-        # per-host metrics, next-frontier write. With the payload job also
-        # in flight this collapses the wave's serial tail to one job's
-        # latency instead of three.
-        import threading
-
-        side_err: list[BaseException] = []
+        # per-host metrics, next-frontier write. Only the FRONTIER job is
+        # joined in-wave (the next pick reads its path/row-count); the
+        # bloom and metrics joins are DEFERRED to the next wave's
+        # post-pick drain point, so their job latency pipelines under the
+        # next pick instead of extending this wave's tail (the bloom's
+        # first consumer is the next links probe, the metrics' only
+        # consumer is the manifest commit — both after that drain).
+        bloom_err: list[BaseException] = []
+        metrics_err: list[BaseException] = []
+        frontier_err: list[BaseException] = []
         counters: dict[str, int] = {}
         frontier_out: dict[str, object] = {}
 
@@ -837,29 +893,47 @@ class CrawlRunner:
                 with job_group(spark.sparkContext, "bloom_update"):
                     self._seen_filter_add(discovered, wave)
             except BaseException as e:
-                side_err.append(e)
+                bloom_err.append(e)
 
         def _metrics_job() -> None:
             # per-host metrics (reference metrics.py:6-27 analog:
             # requests_total, records_processed, errors_total{type} — here
             # per host per wave, as a queryable parquet table instead of a
-            # Prometheus endpoint)
+            # Prometheus endpoint). ONE shuffle: the picked-side and
+            # links-side contributions union into a single groupBy(host)
+            # (the r4 shape ran two grouped aggs + a full outer join —
+            # three exchanges and two extra AQE stage jobs for the same
+            # output table).
             try:
                 from pyspark.sql import Observation
 
                 spark.sparkContext.setJobGroup("metrics", "metrics")
-                met = picked.groupBy("host").agg(
-                    F.count(F.lit(1)).alias("requests_total"),
-                    F.sum("fetch_attempts").alias("fetch_attempts_total"),
-                    F.count_if(F.col("fetch_status") == "error").alias("errors_fetch_total"),
-                    F.sum("backoff_total_s").alias("retry_backoff_s_total"),
-                )
-                links_m = discovered.groupBy("host").agg(
-                    F.count(F.lit(1)).alias("links_discovered_total")
+                met_src = picked.select(
+                    "host",
+                    F.lit(1).alias("_req"),
+                    F.col("fetch_attempts").alias("_att"),
+                    (F.col("fetch_status") == "error").cast("int").alias("_err"),
+                    F.col("backoff_total_s").alias("_back"),
+                    F.lit(0).alias("_disc"),
+                ).unionByName(
+                    discovered.select(
+                        "host",
+                        F.lit(0).alias("_req"),
+                        F.lit(0).alias("_att"),
+                        F.lit(0).alias("_err"),
+                        F.lit(0).alias("_back"),
+                        F.lit(1).alias("_disc"),
+                    )
                 )
                 metrics_df = (
-                    met.join(links_m, "host", "full")
-                    .na.fill(0)
+                    met_src.groupBy("host")
+                    .agg(
+                        F.sum("_req").alias("requests_total"),
+                        F.sum("_att").alias("fetch_attempts_total"),
+                        F.sum("_err").alias("errors_fetch_total"),
+                        F.sum("_back").alias("retry_backoff_s_total"),
+                        F.sum("_disc").alias("links_discovered_total"),
+                    )
                     .withColumn("wave", F.lit(wave))
                 )
                 # wave totals ride the metrics WRITE itself (Observation
@@ -876,38 +950,12 @@ class CrawlRunner:
                     F.sum("retry_backoff_s_total").alias("retry_backoff_s_total"),
                     F.sum("links_discovered_total").alias("links_discovered_total"),
                 )
-                # the histogram write is independent of the metrics write —
-                # run it on its own thread so the step costs max(two write
-                # latencies), not their sum (VERDICT r4 #5: fuse/overlap
-                # the remaining per-wave side-job actions)
-                hist_err: list[BaseException] = []
-
-                def _hist_job() -> None:
-                    try:
-                        spark.sparkContext.setJobGroup("metrics", "metrics")
-                        # request-duration histogram analog (ref
-                        # metrics.py:10-15: prometheus Histogram, buckets
-                        # 0.1-10 s per entity) — cumulative per-host
-                        # (le, count) rows from the deterministic duration
-                        # model, verifiable against refsim
-                        hist = fetchmod.duration_histogram(
-                            fetchmod.with_request_duration(picked)
-                        ).withColumn("wave", F.lit(wave))
-                        self.store.write_wave(hist, "duration_hist", wave)
-                    except BaseException as e:
-                        hist_err.append(e)
-
-                ht = threading.Thread(target=_hist_job, daemon=True)
-                ht.start()
                 self.store.write_wave(metrics_df, "metrics", wave)
-                ht.join()
-                if hist_err:
-                    raise hist_err[0]
                 counters.update(
                     {k: int(v or 0) for k, v in obs.get.items()}
                 )
             except BaseException as e:
-                side_err.append(e)
+                metrics_err.append(e)
 
         def _frontier_job() -> None:
             # 7. next frontier = old − picked + discovered∧allowed
@@ -935,18 +983,21 @@ class CrawlRunner:
                 frontier_out["hosts"] = int(got["hosts"])
                 frontier_out["rows"] = int(got["rows"])
             except BaseException as e:
-                side_err.append(e)
+                frontier_err.append(e)
 
-        side = [
-            threading.Thread(target=t, daemon=True)
-            for t in (_bloom_job, _metrics_job, _frontier_job)
-        ]
-        for t in side:
+        bloom_thread = threading.Thread(target=_bloom_job, daemon=True)
+        metrics_thread = threading.Thread(target=_metrics_job, daemon=True)
+        frontier_thread = threading.Thread(target=_frontier_job, daemon=True)
+        for t in (bloom_thread, metrics_thread, frontier_thread):
             t.start()
-        for t in side:
-            t.join()
-        if side_err:
-            raise side_err[0]
+        frontier_thread.join()
+        if frontier_err:
+            raise frontier_err[0]
+        self._side_pending = [
+            (bloom_thread, bloom_err),
+            (metrics_thread, metrics_err),
+            (hist_thread, hist_err),
+        ]
         fpath = str(frontier_out["path"])
         frontier_rows = int(frontier_out["rows"])  # rode the write (Observation)
         _step("side_jobs")
@@ -971,9 +1022,13 @@ class CrawlRunner:
             }
         )
         if self._payload_pending is None:
-            # no in-flight payload → commit now; otherwise the commit is
-            # DEFERRED to _drain_payload so a committed wave is always
-            # fully on disk, payload included
+            # no in-flight payload → drain the deferred side jobs (the
+            # commit below serializes their counters) and commit now;
+            # otherwise the commit is DEFERRED to _drain_payload so a
+            # committed wave is always fully on disk, payload included.
+            # The side-job overlap therefore only pays off in payload
+            # mode — exactly the mode whose wave tail it hides under.
+            self._drain_side()
             self.store.commit(manifest)
         return manifest
 
