@@ -72,13 +72,9 @@ def _attempt_fails(url_col: Column, attempt: int, fail_pct: Column) -> Column:
     return md5_probe_expr(F.concat(url_col, F.lit(f"#{attempt}"))) < fail_pct
 
 
-def with_fetch_lineage(
-    df: DataFrame,
-    url_col: str = "url",
-    fail_pct: Column | None = None,
-    max_attempts: int = MAX_ATTEMPTS,
-) -> DataFrame:
-    """Attach deterministic retry lineage columns to a fetch frame."""
+def _lineage_columns(
+    url_col: str, fail_pct: Column | None, max_attempts: int
+) -> tuple[Column, Column, Column]:
     u = F.col(url_col)
     pct = fail_pct if fail_pct is not None else F.lit(0)
     fails = [_attempt_fails(u, i, pct) for i in range(1, max_attempts + 1)]
@@ -102,11 +98,36 @@ def with_fetch_lineage(
     # a row that errors out waited through every retry regardless of the
     # (meaningless) attempts value short-circuit above
     backoff = F.when(status == "error", F.lit(cum[max_attempts - 1])).otherwise(backoff)
+    return attempts.cast("int"), status, backoff.cast("int")
 
+
+def with_fetch_lineage(
+    df: DataFrame,
+    url_col: str = "url",
+    fail_pct: Column | None = None,
+    max_attempts: int = MAX_ATTEMPTS,
+) -> DataFrame:
+    """Attach deterministic retry lineage columns to a fetch frame.
+
+    The expression triple is ~60 py4j round-trips to build (measured
+    ~160 ms idle) and depends only on column names + literals, so the
+    never-flaky form (``fail_pct is None`` — the wave loop's default)
+    is memoized per application (``colmemo``); a caller-supplied
+    ``fail_pct`` Column is not hashable and takes the unmemoized path."""
+    if fail_pct is None:
+        from crawler_tjce_spark.colmemo import column_memo
+
+        attempts, status, backoff = column_memo(
+            df.sparkSession,
+            ("fetch_lineage", url_col, max_attempts),
+            lambda: _lineage_columns(url_col, None, max_attempts),
+        )
+    else:
+        attempts, status, backoff = _lineage_columns(url_col, fail_pct, max_attempts)
     return (
-        df.withColumn("fetch_attempts", attempts.cast("int"))
+        df.withColumn("fetch_attempts", attempts)
         .withColumn("fetch_status", status)
-        .withColumn("backoff_total_s", backoff.cast("int"))
+        .withColumn("backoff_total_s", backoff)
     )
 
 
@@ -154,13 +175,22 @@ def with_request_duration(
     max_attempts: int = MAX_ATTEMPTS,
 ) -> DataFrame:
     """Add ``request_duration_s``: the summed deterministic latency of
-    every attempt the retry lineage says this url consumed."""
-    u = F.col(url_col)
-    total: Column = F.lit(0.0)
-    for i in range(1, max_attempts + 1):
-        total = total + F.when(
-            F.col(attempts_col) >= i, attempt_duration_expr(u, i)
-        ).otherwise(F.lit(0.0))
+    every attempt the retry lineage says this url consumed. The sum
+    Column is memoized per application (names + literals only)."""
+    from crawler_tjce_spark.colmemo import column_memo
+
+    def _build() -> Column:
+        u = F.col(url_col)
+        total: Column = F.lit(0.0)
+        for i in range(1, max_attempts + 1):
+            total = total + F.when(
+                F.col(attempts_col) >= i, attempt_duration_expr(u, i)
+            ).otherwise(F.lit(0.0))
+        return total
+
+    total = column_memo(
+        df.sparkSession, ("request_duration", url_col, attempts_col, max_attempts), _build
+    )
     return df.withColumn("request_duration_s", total)
 
 
@@ -182,19 +212,32 @@ def duration_histogram(
     """Prometheus-layout cumulative histogram per host: one row per
     (host, le) with the CUMULATIVE ``bucket_count`` (le = +Inf row
     carries the total), plus ``duration_sum`` repeated per host (the
-    _sum series). One explode + one map-side-combinable groupBy."""
-    entries = [
-        F.struct(
-            F.lit(float(b)).alias("le"),
-            F.when(F.col(duration_col) <= F.lit(float(b)), 1).otherwise(0).alias("hit"),
+    _sum series). One explode + one map-side-combinable groupBy. The
+    bucket-entry array Column is memoized per application."""
+    from crawler_tjce_spark.colmemo import column_memo
+
+    def _entries() -> Column:
+        entries = [
+            F.struct(
+                F.lit(float(b)).alias("le"),
+                F.when(F.col(duration_col) <= F.lit(float(b)), 1)
+                .otherwise(0)
+                .alias("hit"),
+            )
+            for b in buckets
+        ]
+        entries.append(
+            F.struct(F.lit(float("inf")).alias("le"), F.lit(1).alias("hit"))
         )
-        for b in buckets
-    ]
-    entries.append(F.struct(F.lit(float("inf")).alias("le"), F.lit(1).alias("hit")))
+        return F.array(*entries)
+
+    arr = column_memo(
+        df.sparkSession, ("duration_hist_entries", duration_col, buckets), _entries
+    )
     ex = df.select(
         F.col(host_col).alias("host"),
         F.col(duration_col).alias("_d"),
-        F.explode(F.array(*entries)).alias("b"),
+        F.explode(arr).alias("b"),
     )
     return ex.groupBy("host", F.col("b.le").alias("le")).agg(
         F.sum("b.hit").alias("bucket_count"),

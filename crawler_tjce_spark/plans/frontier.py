@@ -133,30 +133,44 @@ def politeness_pick_ordem(
         range_partition_offsets = (
             n_hosts is not None and n_hosts >= RANGE_OFFSETS_MIN_HOSTS
         )
-    order = [F.desc("score"), F.col("url")]
-    salted = frontier.withColumn("_salt", F.pmod(F.xxhash64("url"), F.lit(salt_buckets)))
-    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+    # the rank/filter/agg Columns reference columns by NAME only, so
+    # they are memoized per (application, salt_buckets, budget_col) —
+    # the wave loop rebuilds this plan every wave and the expression
+    # construction alone is ~250 ms of sequential py4j calls (PLANS.md
+    # r5 driver-floor findings)
+    from crawler_tjce_spark.colmemo import column_memo
+
+    def _build_cols():
+        order = [F.desc("score"), F.col("url")]
+        salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets))
+        w1 = Window.partitionBy("host", "_salt").orderBy(*order)
+        w2 = Window.partitionBy("host").orderBy(*order)
+        w_off = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
+        return (
+            salt,
+            F.row_number().over(w1),
+            F.col("_r1") <= F.col(budget_col),
+            F.row_number().over(w2),
+            F.col("_r2") <= F.col(budget_col),
+            F.least(F.count(F.lit(1)), F.min(budget_col)).alias("_cnt"),
+            F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)),
+        )
+
+    salt_c, r1_c, r1_keep, r2_c, r2_keep, cnt_agg, off_c = column_memo(
+        frontier.sparkSession, ("pick_ordem", salt_buckets, budget_col), _build_cols
+    )
+    salted = frontier.withColumn("_salt", salt_c)
     stage1 = (
-        salted.withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= F.col(budget_col))
-        .drop("_r1", "_salt")
+        salted.withColumn("_r1", r1_c).filter(r1_keep).drop("_r1", "_salt")
     )
-    w2 = Window.partitionBy("host").orderBy(*order)
-    picked = stage1.withColumn("_r2", F.row_number().over(w2)).filter(
-        F.col("_r2") <= F.col(budget_col)
-    )
-    counts = frontier.groupBy("host").agg(
-        F.least(F.count(F.lit(1)), F.min(budget_col)).alias("_cnt")
-    )
+    picked = stage1.withColumn("_r2", r2_c).filter(r2_keep)
+    counts = frontier.groupBy("host").agg(cnt_agg)
     if range_partition_offsets:
         from crawler_tjce_spark.operators.windows import scalable_prefix_offsets
 
         offsets = scalable_prefix_offsets(counts, "host")
     else:
-        w_off = Window.orderBy("host").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = counts.withColumn(
-            "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0))
-        ).drop("_cnt")
+        offsets = counts.withColumn("_off", off_c).drop("_cnt")
     return (
         picked.join(F.broadcast(offsets), "host")
         .withColumn("ordem", (F.col("_off") + F.col("_r2") + F.lit(ordem_offset)).cast("long"))
