@@ -484,10 +484,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q30_emb_neardup(spark, sf):
         e = _t(spark, sf, "embeddings")
         # 0.4 is non-vacuous at every SF (59-920 pairs); exact blocked-GEMM
-        # join (equi-join on block-pair keys, no BroadcastNestedLoop);
-        # block_rows=256 → 3 tasks at sf0.01, 36 at sf0.1
+        # join (equi-join on block-pair keys, no BroadcastNestedLoop).
+        # r6: the block grid is scale-adaptive (dedup._block_count) —
+        # the old explicit block_rows=256 made B track N and the ×B
+        # replication shuffle grow quadratically (189 MB at sf1.0; ~12 MB
+        # adaptive). B changes task granularity only, never the result.
         return dedup.embedding_near_dup_pairs(
-            e, "embedding", "vec_id", threshold=0.4, block_rows=256
+            e, "embedding", "vec_id", threshold=0.4
         ).select("id_a", "id_b")
 
     q["q30_emb_neardup"] = q30_emb_neardup

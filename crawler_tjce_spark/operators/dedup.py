@@ -66,18 +66,25 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def shingle_hashes(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) -> DataFrame:
-    """Exploded DISTINCT shingles per document, pre-hashed to 8 bytes.
+def doc_shingle_arrays(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) -> DataFrame:
+    """One row per document: ``(id, _hs array<long>)`` — the DISTINCT
+    shingle hashes, computed entirely in-row (r6).
 
-    The shared substrate for MinHash signatures, exact Jaccard verify,
-    and prefix-filtered similarity joins — compute (and cache) it once;
-    every downstream shuffle then moves (id, long) rows only.
+    The r5 substrate exploded every (id, shingle-hash) pair into a row
+    stream and re-aggregated per consumer: the MinHash signature paid a
+    ``groupBy(id)`` shuffle, the exact verify paid a second
+    ``repartition + groupBy(id).collect_list`` shuffle, and q33's
+    document-frequency ordering paid two more substrate-scale shuffles
+    (guide §2.4 — every one of them reassembles a per-doc set that the
+    source row already held). This form never takes the set apart:
+    tokenize → per-token xxhash64 → k-window shingle hashes →
+    ``array_distinct``, all inside the row, zero shuffles. Signatures
+    become ``array_min(transform(...))`` projections and the verify a
+    plain array join.
 
-    The tokenize→slice→explode stage is expansion-heavy (small doc rows
-    in, many shingle rows out), so like every such stage in this engine
-    it pins its parallelism with a round-robin ``repartition`` — a
-    single-file input otherwise runs the whole tokenization in 1-2 scan
-    tasks (measured ~7 s single-threaded at sf0.1 vs spread across cores).
+    The tokenize stage is compute-heavy on a usually-few-files input, so
+    it pins its parallelism with a round-robin ``repartition`` (a
+    single-file table otherwise tokenizes in 1-3 scan tasks).
     """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     # hash each token ONCE, then a shingle hash combines k consecutive
@@ -107,7 +114,16 @@ def shingle_hashes(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3
             *[F.try_element_at(F.col("_th"), i + j) for j in range(shingle_k)]
         ),
     )
-    return base.select(F.col(id_col), F.explode(F.array_distinct(sh)).alias("_h"))
+    return base.select(F.col(id_col), F.array_distinct(sh).alias("_hs"))
+
+
+def shingle_hashes(df: DataFrame, text_col: str, id_col: str, shingle_k: int = 3) -> DataFrame:
+    """Exploded DISTINCT shingles per document, pre-hashed to 8 bytes —
+    the row-stream view of :func:`doc_shingle_arrays` (kept for callers
+    that genuinely want global per-shingle aggregation)."""
+    return doc_shingle_arrays(df, text_col, id_col, shingle_k).select(
+        F.col(id_col), F.explode("_hs").alias("_h")
+    )
 
 
 def minhash_signature(
@@ -120,9 +136,33 @@ def minhash_signature(
     the shingle string per seed, so signature width costs cheap long-hash
     columns, not repeated string passes. Min over distinct shingles equals
     min over all occurrences, so the distinct substrate is lossless.
+
+    r6: computed as in-row ``array_min(transform(...))`` projections over
+    the per-doc shingle array — the r5 explode + ``groupBy(id)`` shuffled
+    the whole substrate only to reassemble sets the source rows already
+    held (guide §2.4). Identical values: min over the same distinct set.
     """
-    ex = shingle_hashes(df, text_col, id_col, shingle_k)
-    return _minhash_from_hashes(ex, id_col, num_hashes)
+    return _minhash_from_arrays(
+        doc_shingle_arrays(df, text_col, id_col, shingle_k), id_col, num_hashes
+    )
+
+
+def _minhash_from_arrays(docs: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """Signature columns from the per-doc shingle-array form — pure
+    projections, no shuffle."""
+
+    def _seeded(i: int):
+        # MUST stay a one-argument lambda: F.transform treats a
+        # two-parameter function (even `lambda x, i=i`) as the
+        # (element, index) variant and binds the second arg to the
+        # array INDEX — which silently replaces the seed.
+        return lambda x: F.xxhash64(x, F.lit(i))
+
+    mins = [
+        F.array_min(F.transform(F.col("_hs"), _seeded(i))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return docs.select(F.col(id_col), *mins)
 
 
 def _minhash_from_hashes(sh: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
@@ -187,6 +227,32 @@ def lsh_candidate_pairs(
     return pairs
 
 
+def _verify_jaccard_arrays(cand: DataFrame, docs: DataFrame, id_col: str) -> DataFrame:
+    """Exact Jaccard for candidate pairs from the per-doc array form.
+
+    Same math as :func:`_shared_count_verify` (J = |A∩B| / (|A|+|B|−|A∩B|)
+    via ``array_intersect``), but the array sides come straight from
+    :func:`doc_shingle_arrays` — the r5 path re-aggregated the exploded
+    substrate (``repartition + groupBy(id).collect_list``, one full
+    substrate shuffle) to rebuild exactly these arrays (guide §2.4)."""
+    a = docs.select(
+        F.col(id_col).alias("_ida"), F.col("_hs").alias("_ha"), F.size("_hs").alias("_na")
+    )
+    b = docs.select(
+        F.col(id_col).alias("_idb"), F.col("_hs").alias("_hb"), F.size("_hs").alias("_nb")
+    )
+    return (
+        cand.join(a, F.col("id_a") == F.col("_ida"))
+        .join(b, F.col("id_b") == F.col("_idb"))
+        .withColumn("_shared", F.size(F.array_intersect("_ha", "_hb")))
+        .withColumn(
+            "jaccard",
+            F.col("_shared").cast("double") / (F.col("_na") + F.col("_nb") - F.col("_shared")),
+        )
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _shared_count_verify(
     cand: DataFrame, sh: DataFrame, id_col: str
 ) -> DataFrame:
@@ -242,24 +308,26 @@ def dedup_minhash_lsh(
 ) -> DataFrame:
     """Near-duplicate pairs with Jaccard ≥ threshold (MinHash→LSH→verify).
 
-    The exploded-shingle substrate is computed ONCE and cached — the
-    signature aggregation, the per-doc size counts, and the exact
-    candidate verification all reuse it (it dominates the cost: tokenize
-    + slice + join per doc). The result is eagerly materialized via
-    ``localCheckpoint`` so the cache can be released before returning —
-    no leaked persist in long-lived sessions.
+    The per-doc shingle-array substrate (:func:`doc_shingle_arrays`) is
+    computed ONCE and cached — signatures are in-row projections over it
+    and the exact verification joins it directly, so the whole pipeline
+    shuffles only the banded signature rows and the candidate pairs
+    (r6; the r5 exploded substrate paid two substrate-scale shuffles to
+    reassemble per-doc sets, guide §2.4). The result is eagerly
+    materialized via ``localCheckpoint`` so the cache can be released
+    before returning — no leaked persist in long-lived sessions.
     """
-    sh = shingle_hashes(df, text_col, id_col, shingle_k).persist()
+    docs = doc_shingle_arrays(df, text_col, id_col, shingle_k).persist()
     try:
-        sig = _minhash_from_hashes(sh, id_col, num_hashes)
+        sig = _minhash_from_arrays(docs, id_col, num_hashes)
         cand = lsh_candidate_pairs(sig, id_col, num_hashes, bands)
         out = (
-            _shared_count_verify(cand, sh, id_col)
+            _verify_jaccard_arrays(cand, docs, id_col)
             .filter(F.col("jaccard") >= threshold)
             .localCheckpoint(eager=True)
         )
     finally:
-        sh.unpersist()
+        docs.unpersist()
     return out
 
 
@@ -268,65 +336,164 @@ def dedup_minhash_lsh(
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, threshold: float, shingle_k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+    block_docs: int = 65536,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All-pairs EXACT n-gram Jaccard ≥ threshold, prefix-filtered.
+    """All-pairs EXACT n-gram Jaccard ≥ threshold — blocked sparse
+    intersection counting (r6).
 
-    Candidate generation uses the prefix-filter principle (Bayardo et
-    al., WWW'07 "All Pairs"; Xiao et al., WWW'08 PPJoin): order shingles
-    globally by (document frequency asc, hash) and index only each
-    document's first ``|x| − ceil(t·|x|) + 1`` shingles. Any pair with
-    J ≥ t must share an indexed prefix shingle, so the self-equi-join
-    on prefix shingles is a LOSSLESS candidate generator — and it is
-    what bounds hot "boilerplate" shingles: a shingle shared by D
-    documents sorts LAST in the frequency order and lands in almost no
-    prefixes, so it no longer contributes D²/2 join rows (the round-1
-    scale-killer). Exact verification then computes J from the
-    shared-shingle COUNT over the full shingle sets.
+    The r5 shape (prefix-filtered candidate join + per-pair
+    ``array_intersect`` verify, Bayardo/PPJoin) is the right algorithm
+    when shingles are selective — but its cost is governed by the
+    candidate-pair count, and on a DENSE corpus (small vocabulary →
+    every shingle shared by many documents) the prefix filter stops
+    pruning: measured at sf1.0, 50k docs produced only 27.9k distinct
+    shingles (mean document frequency ≈ 94), the prefix join emitted
+    52.4M distinct candidate pairs, and the array-intersect verify over
+    them burned 500–1600 core-seconds — the whole q33 budget. No
+    filter-order tweak fixes that; the candidate set itself is the
+    product (guide §1.2: fix the algorithm, not the constants).
 
-    The shingle substrate is cached once and released before returning
-    (eager ``localCheckpoint`` on the small pair set — no leaked persist).
+    This form never materializes candidates as rows. It is the sparse
+    analog of the blocked embedding GEMM below: |A∩B| for every
+    intersecting pair is a sparse matrix product S·Sᵀ over the
+    doc×shingle incidence matrix, computed blockwise —
+
+    * per-doc distinct shingle-hash arrays (:func:`doc_shingle_arrays`,
+      computed in-row, zero shuffles);
+    * docs hashed into B blocks; each unordered block pair {p,q} is one
+      task (same task keying as :func:`embedding_near_dup_pairs`), so
+      the only shuffle is the ×B array replication;
+    * each task counts shared shingles for all its cross pairs with
+      vectorized numpy (sort one side by hash, ``searchsorted`` +
+      range-gather expansion, ``np.unique`` over packed pair keys) and
+      emits ONLY pairs with J ≥ threshold — the quadratic intermediate
+      lives as task-local integers, never as shuffled rows.
+
+    Exactness: intersection counts over distinct shingle-hash sets are
+    exactly the r5 verify's ``array_intersect`` sizes; J = c/(|A|+|B|−c)
+    is one IEEE-754 double division either way, so emitted values are
+    bit-identical. Total work is Σ_h df(h)² multiply-equivalent steps —
+    the same lower bound any exact all-pairs intersection pays — spread
+    over B(B+1)/2 evenly-sized tasks; per-task memory is bounded by
+    ``block_docs`` (raise/lower for executor size at scale).
+
+    The result is eagerly materialized (``localCheckpoint``) so the
+    substrate cache is released before returning — no leaked persist.
     """
-    sh = shingle_hashes(df, text_col, id_col, shingle_k).persist()
-    try:
-        dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
-        # one per-doc aggregation replaces r2's window chain (row_number
-        # over a (doc) sort + separate sizes agg + sizes join — three
-        # extra shuffles/sorts of the full substrate): collect each
-        # doc's (df, hash) pairs, sort in-row, slice the prefix. The
-        # doc-size count and the prefix fall out of the same array.
-        docagg = (
-            sh.join(dfreq, "_h")
-            .groupBy(id_col)
-            .agg(F.array_sort(F.collect_list(F.struct("_df", "_h"))).alias("_arr"))
-            .withColumn("_n", F.size("_arr"))
-            .withColumn(
-                "_plen",
-                (F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1).cast("int"),
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    if n_blocks is None:
+        # the count prunes the shingle computation (it only needs row
+        # counts, metadata-fast on a parquet scan) and sizes the grid;
+        # the shingle arrays themselves are then computed in ONE pass as
+        # the map side of the ×B explode shuffle — no persist, no cache
+        # round-trip (the arrays have exactly one consumer here, unlike
+        # dedup_minhash_lsh's two)
+        n_rows = df.count()
+        n_blocks = _block_count(
+            n_rows, block_docs, df.sparkSession.sparkContext.defaultParallelism
+        )
+        _LOG.info(
+            "ngram_jaccard_pairs: n_docs=%d block_docs=%d -> n_blocks=%d",
+            n_rows, block_docs, n_blocks,
+        )
+    B = n_blocks
+    thr = float(threshold)
+    docs = doc_shingle_arrays(df, text_col, id_col, shingle_k)
+
+    tagged = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col("_hs").alias("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+    )
+    tasks = F.transform(
+        F.sequence(F.lit(0), F.lit(B - 1)),
+        lambda q: F.when(q >= F.col("_blk"), F.col("_blk") * B + q).otherwise(
+            q * B + F.col("_blk")
+        ),
+    )
+    exploded = tagged.withColumn("_task", F.explode(tasks))
+
+    def _intersect_counts(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        task = int(pdf["_task"].iloc[0])
+        i, j = divmod(task, B)
+        ids = pdf["_id"].to_numpy()
+        hs = pdf["_v"].to_numpy()
+        blk = pdf["_blk"].to_numpy()
+        lens = np.fromiter((len(x) for x in hs), dtype=np.int64, count=len(hs))
+
+        def _empty() -> pd.DataFrame:
+            return pd.DataFrame(
+                {"id_a": ids[:0], "id_b": ids[:0], "jaccard": np.empty(0)}
             )
+
+        a_idx = np.arange(len(hs)) if i == j else np.nonzero(blk == i)[0]
+        b_idx = a_idx if i == j else np.nonzero(blk == j)[0]
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return _empty()
+        lens_a, lens_b = lens[a_idx], lens[b_idx]
+        flat_a = np.concatenate(list(hs[a_idx]))
+        rows_a = np.repeat(np.arange(len(a_idx), dtype=np.int64), lens_a)
+        if i == j:
+            flat_b, rows_b = flat_a, rows_a
+        else:
+            flat_b = np.concatenate(list(hs[b_idx]))
+            rows_b = np.repeat(np.arange(len(b_idx), dtype=np.int64), lens_b)
+        order = np.argsort(flat_b, kind="stable")
+        hb, rb = flat_b[order], rows_b[order]
+        lo = np.searchsorted(hb, flat_a, "left")
+        hi = np.searchsorted(hb, flat_a, "right")
+        cnt = hi - lo
+        nz = cnt > 0
+        if not nz.any():
+            return _empty()
+        lo, cnt, ra = lo[nz], cnt[nz], rows_a[nz]
+        tot = int(cnt.sum())
+        starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        gather = np.arange(tot, dtype=np.int64) + np.repeat(lo - starts, cnt)
+        ii = np.repeat(ra, cnt)
+        jj = rb[gather]
+        if i == j:
+            keep = ii < jj
+            ii, jj = ii[keep], jj[keep]
+            if len(ii) == 0:
+                return _empty()
+        nb_side = len(b_idx)
+        uk, c = np.unique(ii * nb_side + jj, return_counts=True)
+        ia, jb = uk // nb_side, uk % nb_side
+        cf = c.astype(np.float64)
+        jac = cf / (lens_a[ia] + lens_b[jb] - cf)
+        keep = jac >= thr
+        if not keep.any():
+            return _empty()
+        ida = ids[a_idx][ia[keep]]
+        idb = ids[b_idx][jb[keep]]
+        flip = idb < ida  # object-safe elementwise compare (str ids too)
+        return pd.DataFrame(
+            {
+                "id_a": np.where(flip, idb, ida),
+                "id_b": np.where(flip, ida, idb),
+                "jaccard": jac[keep],
+            }
         )
-        prefix = docagg.select(
-            F.col(id_col),
-            F.explode(F.slice("_arr", F.lit(1), F.col("_plen"))).alias("_e"),
-        ).select(id_col, F.col("_e._h").alias("_h"))
-        a, b = prefix.alias("a"), prefix.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a._h") == F.col("b._h"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-            .distinct()
+
+    out = (
+        exploded.groupBy("_task")
+        .applyInPandas(
+            _intersect_counts,
+            schema=f"id_a {id_type}, id_b {id_type}, jaccard double",
         )
-        out = (
-            _shared_count_verify(cand, sh, id_col)
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        sh.unpersist()
+        .localCheckpoint(eager=True)
+    )
     return out
 
 
@@ -512,6 +679,30 @@ def hash64_near_pairs(
 # Embedding near-duplicate
 # ---------------------------------------------------------------------------
 
+def _block_count(n_rows: int, block_rows: int, parallelism: int) -> int:
+    """Block-grid size for the blocked pair operators (r6).
+
+    Two constraints: per-task memory bounds B from below
+    (``ceil(n/block_rows)``), and task-count from parallelism —
+    B(B+1)/2 unordered block pairs should keep ~2 tasks per core in
+    flight so the quadratic work spreads. The parallelism floor is
+    capped at one block per ~64 rows so tiny inputs don't fragment.
+
+    Why B must NOT simply track ``n/block_rows`` with a small constant
+    ``block_rows`` (the r5 shape, block_rows=256): the ×B row
+    replication makes shuffle volume N·B — with B ∝ N that is N²/c,
+    a QUADRATIC shuffle (guide §2.3). Measured at sf1.0 (50k rows,
+    B=196): 189 MB shuffled both ways and 19.3k pandas groups of ~512
+    rows whose per-group Arrow overhead put task run time at 5-20× CPU
+    time. With B from this function (12 at 32 cores) the same query
+    shuffles ~12 MB and runs 78 well-sized groups."""
+    import math
+
+    b_mem = max(1, -(-n_rows // block_rows))
+    b_par = math.ceil((math.sqrt(16 * parallelism + 1) - 1) / 2)
+    return max(b_mem, min(b_par, max(1, -(-n_rows // 64))))
+
+
 def _estimate_rows(df: DataFrame, vec_col: str) -> int:
     """Row-count estimate WITHOUT a full scan (VERDICT r3 wrong #3).
 
@@ -588,7 +779,13 @@ def embedding_near_dup_pairs(
 
     if n_blocks is None:
         n_rows = _estimate_rows(df, vec_col)
-        n_blocks = max(1, -(-n_rows // block_rows))
+        # r6: grid from _block_count — block_rows only bounds per-task
+        # memory; the task-count floor comes from parallelism, so B no
+        # longer scales linearly with N (which made the ×B replication
+        # shuffle N²/block_rows bytes — see _block_count).
+        n_blocks = _block_count(
+            n_rows, block_rows, df.sparkSession.sparkContext.defaultParallelism
+        )
         # surface the grid choice: a stats-underestimate shrinks B and
         # quadratically inflates per-task GEMM rows, so a bad grid must
         # be diagnosable from the logs (ADVICE r4)
