@@ -44,8 +44,12 @@ def cosine_topk(
     then per-query top-k via window. Deterministic ties → (sim desc,
     id asc).
     """
+    from crawler_tjce_spark.parallel import ensure_min_parallelism
+
     q = F.broadcast(queries.select(query_id_col, query_vec_col))
-    joined = vectors.select(id_col, vec_col).crossJoin(q)
+    # the per-row dot products are the cost; spread them over the
+    # session's cores when the scan is row-group-bound (no-op at scale)
+    joined = ensure_min_parallelism(vectors.select(id_col, vec_col)).crossJoin(q)
     sim = (_dot(F.col(vec_col), F.col(query_vec_col)) / (
         _norm(F.col(vec_col)) * _norm(F.col(query_vec_col))
     )).alias("cosine")

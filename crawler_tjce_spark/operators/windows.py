@@ -149,6 +149,17 @@ def group_topk(
 
     ``row_number`` (not rank) → exactly k rows, deterministic given a
     total ``order_by``. This is also the politeness budget pick.
+
+    The map-side partial ``WindowGroupLimit`` (Spark 3.5+) already keeps
+    the shuffle at ~k rows per group per task; the wall cost is the
+    per-task partial sort, so the input is spread to the session's
+    parallelism when its scan is row-group-bound (no-op at scale).
     """
+    from crawler_tjce_spark.parallel import ensure_min_parallelism
+
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
-    return df.withColumn(rank_name, F.row_number().over(w)).filter(F.col(rank_name) <= k)
+    return (
+        ensure_min_parallelism(df)
+        .withColumn(rank_name, F.row_number().over(w))
+        .filter(F.col(rank_name) <= k)
+    )

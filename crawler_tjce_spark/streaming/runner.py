@@ -727,6 +727,14 @@ class CrawlRunner:
             # collapse into the write, and the r4 footer walk (os.walk +
             # per-file metadata reads, ~10-40 ms/wave of driver time in
             # the multi-wave regime) into the accumulator.
+            # (r6 A/B, measured and REJECTED: launching the payload thread
+            # from the LAZY pick plan, before this write, so the write
+            # hides under the payload. Interleaved runs read dead even —
+            # 19.0 s old vs 19.1 s new at local[32] — because the payload
+            # job then serializes on the same pick computation inside its
+            # own lineage before its wide synth stage can start; and at a
+            # 10^10-row frontier the duplicated pick would be a real
+            # second full pass. The write-then-re-read doctrine stays.)
             from pyspark.sql import Observation
 
             obs_v = Observation(f"picked_w{wave}")
@@ -990,14 +998,19 @@ class CrawlRunner:
         frontier_thread = threading.Thread(target=_frontier_job, daemon=True)
         for t in (bloom_thread, metrics_thread, frontier_thread):
             t.start()
-        frontier_thread.join()
-        if frontier_err:
-            raise frontier_err[0]
+        # register the deferred side jobs BEFORE joining the frontier
+        # thread (ADVICE r5): if the frontier job raises, a later drain
+        # must still join these threads and surface their errors instead
+        # of orphaning them mid-write while a caller handles the
+        # exception or a resume replays the wave.
         self._side_pending = [
             (bloom_thread, bloom_err),
             (metrics_thread, metrics_err),
             (hist_thread, hist_err),
         ]
+        frontier_thread.join()
+        if frontier_err:
+            raise frontier_err[0]
         fpath = str(frontier_out["path"])
         frontier_rows = int(frontier_out["rows"])  # rode the write (Observation)
         _step("side_jobs")
