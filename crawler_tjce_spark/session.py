@@ -48,6 +48,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # dynamic partition overwrite: the bucketed seen index replays a
+        # crashed wave by overwriting ONLY that wave's partition (static
+        # mode would wipe the whole table on every insert-overwrite)
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         # FAIR scheduling: the crawl runner overlaps the big payload-fetch

@@ -122,6 +122,8 @@ class CrawlRunner:
         seen_filter: str | None = None,
         links_prefilter: bool = False,
         cuckoo_shards: int = 32,
+        seen_store: str = "bucketed",
+        seen_buckets: int = 32,
     ):
         self.spark = spark
         # True (default) keeps the session's AQE setting for the crawl
@@ -164,6 +166,31 @@ class CrawlRunner:
         # bench_artifacts/bigworld.json for the recorded A/B.
         self.links_prefilter = links_prefilter
         self.cuckoo_shards = cuckoo_shards
+        # Bucketed seen store (r6, VERDICT r5 #1): the exact anti-join's
+        # seen side used to hash-exchange the ENTIRE seen history every
+        # wave once it outgrew broadcast — O(seen) shuffle per wave, the
+        # engine's last named 10^10-key cost. "bucketed" maintains a
+        # catalog parquet table CLUSTERED BY (url) INTO ``seen_buckets``
+        # BUCKETS, PARTITIONED BY (src, wave): the per-wave insert moves
+        # only that wave's discovered URLs (one small exchange, one file
+        # per bucket), and every seen-side read scans pre-partitioned
+        # (``Bucketed: true`` — only the CANDIDATE side exchanges in the
+        # left_anti). Partitions: src ∈ {s,d,r} × wave, so a crash-replay
+        # dynamically overwrites exactly (d, wave) — idempotent — and
+        # wave-pruning happens on catalog partitions (the replayed
+        # wave's files are never listed, same property as the r5
+        # path-level pruning). "paths" keeps the r5 per-wave path-union
+        # read (the seen side re-shuffles per wave once past broadcast).
+        if seen_store not in ("bucketed", "paths"):
+            raise ValueError(f"seen_store must be bucketed|paths, got {seen_store!r}")
+        self.seen_store = seen_store
+        self.seen_buckets = seen_buckets
+        import hashlib
+
+        self._seen_table = (
+            "seen_idx_" + hashlib.md5(store_root.encode()).hexdigest()[:10]
+        )
+        self._seen_index_path = os.path.join(self.store.root, "seen_idx")
         self.bloom_expected = bloom_expected
         self.bloom_fpp = bloom_fpp
         self.salt_buckets = salt_buckets
@@ -250,6 +277,54 @@ class CrawlRunner:
             return with_robots_literal(df, self._robots_rules)
         return with_robots(df, self.robots)
 
+    # ------------------------------------------------- bucketed seen index
+    def _ensure_seen_index(self, drop: bool = False) -> None:
+        """Create (or re-register, after a session restart) the bucketed
+        seen-index table. The catalog entry is session-local (in-memory
+        catalog); the FILES are the durable state under the store root,
+        so a resume in a fresh session re-creates the table over the
+        existing location and recovers its partitions (MSCK)."""
+        if self.seen_store != "bucketed":
+            return
+        name = self._seen_table
+        if drop:
+            import shutil
+
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(self._seen_index_path, ignore_errors=True)
+        if not self.spark.catalog.tableExists(name):
+            existed = os.path.isdir(self._seen_index_path)
+            self.spark.sql(
+                f"CREATE TABLE {name} (url STRING, src STRING, wave INT) "
+                f"USING parquet PARTITIONED BY (src, wave) "
+                f"CLUSTERED BY (url) INTO {self.seen_buckets} BUCKETS "
+                f"LOCATION '{self._seen_index_path}'"
+            )
+            if existed:
+                self.spark.sql(f"MSCK REPAIR TABLE {name}")
+
+    def _seen_idx_insert(
+        self, urls_df: DataFrame, src: str, wave: int, overwrite: bool
+    ) -> None:
+        """Insert one batch of seen URLs under partition (src, wave).
+
+        The pre-insert ``repartition(B, url)`` uses the same Murmur3
+        bucket function as the table spec, so each task holds exactly
+        one bucket's rows → one file per bucket per partition. With
+        dynamic partition overwrite, ``overwrite=True`` replaces only
+        the (src, wave) partitions present in this batch — the
+        idempotent-replay write mode."""
+        (
+            urls_df.select(
+                F.col("url"),
+                F.lit(src).alias("src"),
+                F.lit(wave).cast("int").alias("wave"),
+            )
+            .repartition(self.seen_buckets, "url")
+            .write.mode("overwrite" if overwrite else "append")
+            .insertInto(self._seen_table)
+        )
+
     def _seen_df(self, upto_wave: int) -> DataFrame:
         """seen = (seeds ∪ discovered ∪ requeued)[wave ≤ upto_wave]
         − still-live evictions.
@@ -269,19 +344,35 @@ class CrawlRunner:
         eviction; a later re-discovery or requeue (entry wave ≥
         evict_wave) resurrects it. The tombstone table is bounded
         (explicit eviction batches), so its mask join is a broadcast —
-        per-wave cost ~nothing."""
-        entries = self.seeds.select("url", F.lit(-1).alias("_w"))
-        for table in ("discovered", "requeued"):
-            paths = [
-                p
-                for w in range(0, upto_wave + 1)
-                if os.path.exists(p := self.store.table_dir(table, w))
-            ]
-            if paths:
-                part = self.spark.read.schema(_SEEN_ENTRY_SCHEMA).parquet(*paths)
-                entries = entries.unionByName(
-                    part.select("url", F.col("wave").alias("_w"))
-                )
+        per-wave cost ~nothing.
+
+        seen_store="bucketed" (r6): all three entry sources live in the
+        bucketed index table; the wave bound prunes catalog PARTITIONS
+        (same replay-safety as the path-level pruning — the replayed
+        wave's partition is never listed), the scan reports
+        ``Bucketed: true``, and downstream url-equality joins exchange
+        ONLY their other side. The eviction mask is a broadcast join,
+        which preserves the streamed side's bucket partitioning."""
+        if self.seen_store == "bucketed":
+            self._ensure_seen_index()  # re-registers after session restart
+            entries = (
+                self.spark.table(self._seen_table)
+                .filter(F.col("wave") <= upto_wave)
+                .select("url", F.col("wave").alias("_w"))
+            )
+        else:
+            entries = self.seeds.select("url", F.lit(-1).alias("_w"))
+            for table in ("discovered", "requeued"):
+                paths = [
+                    p
+                    for w in range(0, upto_wave + 1)
+                    if os.path.exists(p := self.store.table_dir(table, w))
+                ]
+                if paths:
+                    part = self.spark.read.schema(_SEEN_ENTRY_SCHEMA).parquet(*paths)
+                    entries = entries.unionByName(
+                        part.select("url", F.col("wave").alias("_w"))
+                    )
         evp = os.path.join(self.store.root, "evicted")
         if os.path.isdir(evp):
             ev = (
@@ -406,7 +497,12 @@ class CrawlRunner:
         manifest = self.store.load_manifest() if resume else None
         if manifest is None:
             with job_group(self.spark.sparkContext, "bootstrap"):
+                # fresh store → fresh index (drop a stale catalog entry
+                # AND its files); bootstrap then seeds partition (s, -1)
+                self._ensure_seen_index(drop=True)
                 manifest = self._bootstrap()
+        else:
+            self._ensure_seen_index()
         with job_group(self.spark.sparkContext, "bloom_init"):
             self._init_seen_filter(manifest["wave"])
         return manifest
@@ -570,6 +666,13 @@ class CrawlRunner:
             )
         )
         self.store.write_wave(rq, "requeued", wave)
+        if self.seen_store == "bucketed":
+            self._ensure_seen_index()
+            # append (never overwrite): partition (r, wave) may already
+            # hold earlier requeue batches, and a wave replay must not
+            # wipe them (replay only overwrites (d, wave)); duplicate
+            # rows are harmless to seen-set semantics
+            self._seen_idx_insert(rq.select("url"), "r", wave, overwrite=False)
         if self.seen_filter == "cuckoo":
             from crawler_tjce_spark.plans import cuckoo as ckmod
 
@@ -647,6 +750,10 @@ class CrawlRunner:
             )
         )
         fpath = self.store.write_full(frontier, "frontier", 0)
+        if self.seen_store == "bucketed":
+            # seed entries land in index partition (s, -1); idempotent
+            # overwrite so a bootstrap replay cannot duplicate them
+            self._seen_idx_insert(seeds.select("url"), "s", -1, overwrite=True)
         stats = obs.get
         manifest = {
             "wave": 0,
@@ -903,6 +1010,22 @@ class CrawlRunner:
             except BaseException as e:
                 bloom_err.append(e)
 
+        seen_idx_err: list[BaseException] = []
+
+        def _seen_idx_job() -> None:
+            # r6: append this wave's discovered URLs to the bucketed seen
+            # index — the O(|wave|) write that replaces the O(|seen|)
+            # per-wave exchange the anti-join's seen side used to pay.
+            # Reads the committed discovered partition (write-then-re-read),
+            # overwrites exactly index partition (d, wave) — replay-safe.
+            try:
+                with job_group(spark.sparkContext, "seen_idx"):
+                    self._seen_idx_insert(
+                        discovered.select("url"), "d", wave, overwrite=True
+                    )
+            except BaseException as e:
+                seen_idx_err.append(e)
+
         def _metrics_job() -> None:
             # per-host metrics (reference metrics.py:6-27 analog:
             # requests_total, records_processed, errors_total{type} — here
@@ -996,18 +1119,24 @@ class CrawlRunner:
         bloom_thread = threading.Thread(target=_bloom_job, daemon=True)
         metrics_thread = threading.Thread(target=_metrics_job, daemon=True)
         frontier_thread = threading.Thread(target=_frontier_job, daemon=True)
-        for t in (bloom_thread, metrics_thread, frontier_thread):
+        threads = [bloom_thread, metrics_thread, frontier_thread]
+        side = [
+            (bloom_thread, bloom_err),
+            (metrics_thread, metrics_err),
+            (hist_thread, hist_err),
+        ]
+        if self.seen_store == "bucketed":
+            seen_idx_thread = threading.Thread(target=_seen_idx_job, daemon=True)
+            threads.append(seen_idx_thread)
+            side.append((seen_idx_thread, seen_idx_err))
+        for t in threads:
             t.start()
         # register the deferred side jobs BEFORE joining the frontier
         # thread (ADVICE r5): if the frontier job raises, a later drain
         # must still join these threads and surface their errors instead
         # of orphaning them mid-write while a caller handles the
         # exception or a resume replays the wave.
-        self._side_pending = [
-            (bloom_thread, bloom_err),
-            (metrics_thread, metrics_err),
-            (hist_thread, hist_err),
-        ]
+        self._side_pending = side
         frontier_thread.join()
         if frontier_err:
             raise frontier_err[0]
