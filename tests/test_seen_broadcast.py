@@ -122,3 +122,18 @@ def test_prefilter_new_rows_equals_not_in(spark):
     )
     assert got == want
     assert len(got) > 0 and np.frombuffer(bits, dtype=np.uint8).any()
+
+
+def test_distributed_bloom_merge_parity(spark):
+    """build_bloom(distributed=True) — the treeReduce executor-side
+    OR-merge (VERDICT r5 #8) — must produce a byte-identical array to
+    the driver merge (OR is associative+commutative), including on
+    empty input (all-zero array)."""
+    seen_urls, _ = _dfs(spark)
+    driver = seenmod.build_bloom(seen_urls, "url", expected_n=400)
+    tree = seenmod.build_bloom(seen_urls, "url", expected_n=400, distributed=True)
+    assert driver == tree
+    empty = seen_urls.filter("url = 'nope'")
+    assert seenmod.build_bloom(empty, "url", 400) == seenmod.build_bloom(
+        empty, "url", 400, distributed=True
+    )
