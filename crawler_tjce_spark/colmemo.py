@@ -15,10 +15,18 @@ application; this memo keys them by ``applicationId`` so a recycled JVM
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Callable
 
 _MEMO: dict[tuple, Any] = {}
 _MAX_ENTRIES = 64
+# The memo is read/evicted/written from several driver threads (the
+# hist/metrics side-job threads build memoized Columns concurrently with
+# the main wave loop's pick — ADVICE r5). The GIL made races benign but
+# the size-cap clear() could evict the LIVE application's hot entries
+# mid-wave; the lock is nanoseconds against the py4j cost being saved,
+# and eviction now drops only entries from OTHER applications first.
+_LOCK = threading.Lock()
 
 
 def column_memo(spark, key: tuple, build: Callable[[], Any]) -> Any:
@@ -26,15 +34,22 @@ def column_memo(spark, key: tuple, build: Callable[[], Any]) -> Any:
 
     ``build`` must return only immutable plan fragments (Column objects
     or tuples of them) that reference columns by NAME — never anything
-    bound to a specific DataFrame. The whole memo is dropped when it
-    outgrows ``_MAX_ENTRIES`` (entries from stopped applications are
-    dead weight; wholesale clearing is simpler than per-app eviction
-    and the rebuild cost is one wave's py4j round-trips)."""
-    k = (spark.sparkContext.applicationId,) + key
-    hit = _MEMO.get(k)
-    if hit is None:
+    bound to a specific DataFrame. When the memo outgrows
+    ``_MAX_ENTRIES``, entries from stopped/other applications (dead
+    py4j weight) are evicted first; the live application's entries are
+    cleared only if the cap is still exceeded."""
+    app = spark.sparkContext.applicationId
+    k = (app,) + key
+    with _LOCK:
+        hit = _MEMO.get(k)
+    if hit is not None:
+        return hit
+    hit = build()  # outside the lock: py4j round-trips dominate
+    with _LOCK:
         if len(_MEMO) > _MAX_ENTRIES:
-            _MEMO.clear()
-        hit = build()
-        _MEMO[k] = hit
-    return hit
+            stale = [mk for mk in _MEMO if mk[0] != app]
+            for mk in stale:
+                del _MEMO[mk]
+            if len(_MEMO) > _MAX_ENTRIES:
+                _MEMO.clear()
+        return _MEMO.setdefault(k, hit)

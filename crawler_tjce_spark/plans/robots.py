@@ -49,28 +49,40 @@ def with_robots(df: DataFrame, robots: DataFrame, url_col: str = "url") -> DataF
 # the application id in the key drops columns from a stopped JVM (the
 # test suite recycles JVMs mid-process).
 _LITERAL_MAP_MEMO: dict[tuple, tuple] = {}
+# lock + bounded eviction (ADVICE r5): side-job threads resolve the maps
+# concurrently with the wave loop, and the old clear-on-every-miss would
+# thrash if two rule sets ever alternated within one process.
+_LITERAL_MAP_LOCK = __import__("threading").Lock()
+_LITERAL_MAP_MAX = 8
 
 
 def _literal_maps(df: DataFrame, rules_key: tuple):
     app_id = df.sparkSession.sparkContext.applicationId
     key = (app_id, rules_key)
-    hit = _LITERAL_MAP_MEMO.get(key)
-    if hit is None:
-        budget_map = F.create_map(
-            *[x for h, _, b in rules_key for x in (F.lit(h), F.lit(int(b)))]
-        )
-        prefix_map = F.create_map(
-            *[
-                x
-                for h, p, _ in rules_key
-                if p is not None
-                for x in (F.lit(h), F.lit(p))
-            ]
-        )
-        hit = (budget_map, prefix_map)
-        _LITERAL_MAP_MEMO.clear()  # one live rule set per process is the case
-        _LITERAL_MAP_MEMO[key] = hit
-    return hit
+    with _LITERAL_MAP_LOCK:
+        hit = _LITERAL_MAP_MEMO.get(key)
+    if hit is not None:
+        return hit
+    budget_map = F.create_map(
+        *[x for h, _, b in rules_key for x in (F.lit(h), F.lit(int(b)))]
+    )
+    prefix_map = F.create_map(
+        *[
+            x
+            for h, p, _ in rules_key
+            if p is not None
+            for x in (F.lit(h), F.lit(p))
+        ]
+    )
+    hit = (budget_map, prefix_map)
+    with _LITERAL_MAP_LOCK:
+        if len(_LITERAL_MAP_MEMO) >= _LITERAL_MAP_MAX:
+            stale = [mk for mk in _LITERAL_MAP_MEMO if mk[0] != app_id]
+            for mk in stale:
+                del _LITERAL_MAP_MEMO[mk]
+            if len(_LITERAL_MAP_MEMO) >= _LITERAL_MAP_MAX:
+                _LITERAL_MAP_MEMO.clear()
+        return _LITERAL_MAP_MEMO.setdefault(key, hit)
 
 
 def with_robots_literal(

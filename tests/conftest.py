@@ -57,6 +57,19 @@ def _teardown_jvm(spark) -> None:
                     pass
     SparkContext._gateway = None
     SparkContext._jvm = None
+    # If spark.stop() itself failed above, PySpark's process-global
+    # session/context singletons may still point at the dead JVM and the
+    # next getOrCreate would hand back a session whose gateway was just
+    # destroyed (ADVICE r5) — clear them so the next fixture call is
+    # guaranteed a fresh session.
+    from pyspark.sql import SparkSession
+
+    try:
+        SparkSession._instantiatedSession = None
+        SparkSession._activeSession = None
+        SparkContext._active_spark_context = None
+    except Exception:
+        pass
 
 
 @pytest.fixture(scope="module")
