@@ -10,6 +10,10 @@ frontier              full parquet snapshot per wave (``frontier/snap=N``)
 seen set              append-only: seeds ∪ all ``discovered/wave=*``
                       partitions (never rewritten — at 10^10 keys a
                       rewrite-per-wave would be O(waves·|seen|) I/O);
+                      plus, by default (``seen_store="bucketed"``, r6),
+                      a catalog parquet index CLUSTERED BY (url) so the
+                      exact anti-join reads the seen side
+                      pre-partitioned and only candidates shuffle;
                       plus a driver-held bloom bit array as prefilter,
                       persisted per wave for resume
 visit log (ordem)     append-only ``visits/wave=N`` partitions
